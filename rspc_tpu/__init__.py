@@ -1,0 +1,37 @@
+"""rspc_tpu — a TPU-native (JAX/XLA/Pallas) RGBD point-cloud registration framework.
+
+Re-implements, TPU-first, the full capability surface of the reference C++
+application ``hyunminch/realsense-pointcloud`` (``rs-pcl``): RGBD capture /
+replay, depth deprojection to colored point clouds, organized edge-feature
+extraction, IMU complementary-filter rotation estimation, grid-search
+translation estimation, and global registration of frame sequences via
+edge-based ICP and NDT — plus the numerics the reference delegates to PCL,
+librealsense2, and OpenCV (ICP, NDT, organized edge detection, integral-image
+normals, voxel downsampling, deprojection, PCD I/O), rebuilt as jittable JAX
+ops and Pallas kernels over fixed-capacity padded cloud buffers.
+
+Layer map (mirrors SURVEY.md §1 of the reference):
+  cloud.py          — core cloud pytrees (reference: src/types.hpp)
+  io/               — PCD v0.7 I/O + dataset naming (reference: pcl::io, main.cpp)
+  ops/              — transforms, NN search, voxel grid, normals, edges,
+                      deprojection, filters (reference: PCL/librealsense internals)
+  registration/     — ICP, NDT, registration schemes (reference: src/*_registration.hpp)
+  estimators/       — rotation (IMU) + translation estimators (reference:
+                      src/rotation_estimator.hpp, src/translation_estimator.hpp)
+  capture/          — replay + synthetic RGBD sources (reference: src/capture*.hpp)
+  viz/              — headless point-cloud renderer (reference: src/visualizer.hpp)
+  parallel/         — jax.sharding meshes + sharded kernels (no reference analog;
+                      SURVEY.md §2c maps the parallelism axes)
+  cli.py            — argv-compatible command-line surface (reference: src/main.cpp)
+"""
+
+__version__ = "0.1.0"
+
+from rspc_tpu.cloud import Cloud, OrganizedCloud  # noqa: F401
+from rspc_tpu.config import (  # noqa: F401
+    EdgeConfig,
+    ICPConfig,
+    NDTConfig,
+    PipelineConfig,
+    VoxelConfig,
+)

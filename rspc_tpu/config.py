@@ -1,0 +1,156 @@
+"""Typed configuration for every pipeline hyperparameter.
+
+The reference hard-codes all of these as magic constants scattered through
+headers (SURVEY.md §5 "Config / flag system"); here they are hoisted into
+dataclasses with the reference's **exact defaults**, each field citing where
+the constant lives in /root/reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Point-to-point ICP settings.
+
+    Defaults mirror the reference's coarse+fine ICP stages, which share one
+    parameter set (src/icp_edge_based_registration.hpp:41-52,
+    src/ndt_edge_based_registration.hpp:47-50, src/incremental_icp.hpp:46-49).
+
+    NOTE: with PCL's convergence-criteria mapping, ``transformation_epsilon=1``
+    sets the translation threshold to 1 m^2 and the rotation threshold to
+    cos(angle) >= 1 - 1 = 0, so PCL declares CONVERGENCE_CRITERIA_TRANSFORM
+    after the FIRST iteration for any sane incremental step. Parity requires
+    honoring that logic, not just running max_iterations (SURVEY.md §6
+    "Hard parts").
+    """
+
+    max_iterations: int = 100            # setMaximumIterations(100)
+    max_correspondence_distance: float = 0.01  # setMaxCorrespondenceDistance(0.01)
+    transformation_epsilon: float = 1.0  # setTransformationEpsilon(1)
+    euclidean_fitness_epsilon: float = 1000.0  # setEuclideanFitnessEpsilon(1000)
+    # PCL internals required for parity (pcl::DefaultConvergenceCriteria):
+    mse_threshold_absolute: float = 1e-12   # PCL default absolute MSE threshold
+    min_number_correspondences: int = 3     # PCL Registration default
+    # TPU execution knobs (no reference analog):
+    target_chunk: int = 2048   # target tile size for the NN sweep
+    use_pallas: bool = False   # use the Pallas NN kernel (TPU only)
+
+
+@dataclasses.dataclass(frozen=True)
+class NDTConfig:
+    """Normal Distributions Transform settings.
+
+    Defaults from src/ndt_edge_based_registration.hpp:38-43; PCL internals
+    (outlier ratio, line-search constants, min points per voxel) from
+    pcl::NormalDistributionsTransform defaults.
+    """
+
+    transformation_epsilon: float = 0.01  # setTransformationEpsilon(0.01)
+    step_size: float = 0.1                # setStepSize(0.1)
+    resolution: float = 1.0               # setResolution(1.0)
+    max_iterations: int = 50              # setMaximumIterations(50)
+    outlier_ratio: float = 0.55           # PCL default
+    min_points_per_voxel: int = 6         # PCL VoxelGridCovariance default
+    line_search_max_iterations: int = 10  # PCL computeStepLengthMT max
+    # Static capacity for the target voxel table (TPU knob):
+    max_voxels: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeConfig:
+    """Organized edge detection + normal estimation settings.
+
+    Normal estimation: AVERAGE_3D_GRADIENT, max depth change 0.02,
+    smoothing size 10.0 (src/edge_extractor.hpp:10-15). Edge detection:
+    depth discontinuity threshold 0.2, max search neighbors 50, all five
+    edge label classes enabled (src/edge_extractor.hpp:17-21). Canny
+    hysteresis thresholds are PCL's OrganizedEdgeFromRGB defaults (40, 100);
+    high-curvature canny thresholds are PCL's OrganizedEdgeFromNormals
+    defaults (0.4, 1.1).
+    """
+
+    max_depth_change_factor: float = 0.02
+    normal_smoothing_size: float = 10.0
+    depth_discontinuity_threshold: float = 0.2
+    max_search_neighbors: int = 50
+    canny_low_threshold: float = 40.0
+    canny_high_threshold: float = 100.0
+    hc_canny_low_threshold: float = 0.4
+    hc_canny_high_threshold: float = 1.1
+    # Static capacity of the compacted edge cloud (TPU knob):
+    max_edge_points: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelConfig:
+    """Approximate voxel-grid downsampling.
+
+    Leaf size 0.01 m^3 from setLeafSize(0.01, 0.01, 0.01)
+    (src/icp_edge_based_registration.hpp:47). ``max_points`` is the static
+    output capacity (TPU knob).
+    """
+
+    leaf_size: float = 0.01
+    max_points: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
+class RotationEstimatorConfig:
+    """IMU complementary filter; alpha = 0.98
+    (src/rotation_estimator.hpp:16)."""
+
+    alpha: float = 0.98
+
+
+@dataclasses.dataclass(frozen=True)
+class TranslationEstimatorConfig:
+    """Per-axis exhaustive grid search; 500 candidates starting at
+    -max_iterations/200 stepping +0.01 (src/translation_estimator.hpp:37-42)."""
+
+    max_iterations: int = 500
+    step: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptureConfig:
+    """Capture-loop behavior.
+
+    Keep one frame every >= 2 s (src/capture.hpp:168-170). The center crop
+    keeps the middle 3/5 x 3/5 of the frame (src/capture.hpp:79-88). v2
+    capture (``--capture``) keeps full resolution
+    (src/capture_opencv.hpp:128-160).
+    """
+
+    throttle_ns: int = 2_000_000_000
+    center_crop: bool = True
+    depth_scale: float = 0.001   # RealSense Z16 depth unit (m per LSB)
+    bgr_color: bool = True       # reference swizzles BGR->RGB (capture.hpp:99-101)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level bundle with the reference's registration defaults.
+
+    ``default_rads`` is the static per-frame initial-guess y-rotation:
+    -0.523599 rad = -30 deg (src/icp_edge_based_registration.hpp:135,
+    src/main.cpp:215, README.md:39).
+    """
+
+    icp: ICPConfig = ICPConfig()
+    ndt: NDTConfig = NDTConfig()
+    edge: EdgeConfig = EdgeConfig()
+    voxel: VoxelConfig = VoxelConfig()
+    rotation: RotationEstimatorConfig = RotationEstimatorConfig()
+    translation: TranslationEstimatorConfig = TranslationEstimatorConfig()
+    capture: CaptureConfig = CaptureConfig()
+    default_rads: float = -0.523599
+    dataset_dir: str = "dataset"
+
+    @staticmethod
+    def with_degrees(deg: float) -> "PipelineConfig":
+        """Reference deg->rad conversion: (deg / 180) * pi (src/main.cpp:215)."""
+        return PipelineConfig(default_rads=(deg / 180.0) * math.pi)
