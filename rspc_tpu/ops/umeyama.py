@@ -1,0 +1,98 @@
+"""Weighted rigid (SVD/Umeyama) transform estimation.
+
+TPU-native replacement for PCL's ``TransformationEstimationSVD`` — the inner
+solver of every ICP iteration (SURVEY.md X1). Runs entirely on-device: a
+masked 3x3 cross-covariance (one small matmul at HIGHEST precision) followed
+by a Newton **polar iteration** for the optimal rotation.
+
+Why polar iteration instead of plain SVD: the optimal rotation maximizing
+``tr(R H)`` (H = sum_i w_i src_i dst_i^T, demeaned) is the orthogonal polar
+factor of ``H^T``. TPU's f32 SVD (QDWH-based) leaves ~1e-3 error in the
+recovered rotation — above the <1e-3 transform-error budget
+(BASELINE.json) — while the quadratically-convergent Newton iteration
+``X <- (X + X^-T)/2`` reaches f32 machine precision in ~10 cheap 3x3 steps.
+The SVD path is kept as the fallback for reflection/degenerate cases
+(det(H) <= 0), matching PCL/Umeyama's smallest-singular-direction flip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _adjugate3(m: jnp.ndarray) -> jnp.ndarray:
+    """Cofactor (adjugate^T) matrix of a 3x3; inv(m) = adj(m)^T / det,
+    so m^{-T} = adj(m) / det."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    return jnp.array(
+        [
+            [e * i - f * h, f * g - d * i, d * h - e * g],
+            [c * h - b * i, a * i - c * g, b * g - a * h],
+            [b * f - c * e, c * d - a * f, a * e - b * d],
+        ],
+        m.dtype,
+    )
+
+
+def _polar_rotation(x: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """Orthogonal polar factor of a (nonsingular, det>0) 3x3 via Newton
+    iteration X <- (X + X^{-T}) / 2, Frobenius-normalized start."""
+    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+
+    def body(_, x):
+        cof = _adjugate3(x)
+        det = jnp.sum(x[0] * cof[0])  # det via first-row cofactor expansion
+        x_invt = cof / det
+        return 0.5 * (x + x_invt)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+def rigid_fit(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Least-squares rigid transform T with ``T @ src ≈ dst``.
+
+    src, dst: ``f32[N,3]`` paired points; weights: ``f32[N]`` (0 masks a
+    pair out). Returns ``f32[4,4]``. With fewer than 3 effective pairs the
+    problem is degenerate; callers guard on correspondence count (PCL
+    requires >= 3, pcl::Registration min_number_correspondences_).
+
+    Semantics follow PCL TransformationEstimationSVD (no scaling): demean
+    both sets, H = sum w (src-cs)(dst-cd)^T, R = argmax tr(R H) with
+    det(R)=+1, t = centroid_dst - R centroid_src.
+    """
+    w = weights.astype(src.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    cs = jnp.sum(src * w[:, None], axis=0) / wsum
+    cd = jnp.sum(dst * w[:, None], axis=0) / wsum
+    src_d = (src - cs) * w[:, None]
+    dst_d = dst - cd
+    # precision=HIGHEST: the N-length contraction feeds the 3x3 rotation
+    # solve; TPU bf16 MXU truncation is not acceptable here.
+    h = jnp.matmul(
+        src_d.T, dst_d, precision=jax.lax.Precision.HIGHEST
+    )  # 3x3
+
+    det_h = jnp.linalg.det(h)
+    r_newton = _polar_rotation(h.T)
+
+    # SVD fallback with reflection correction (degenerate/planar sets).
+    u, _, vt = jnp.linalg.svd(h)
+    v = vt.T
+    det = jnp.linalg.det(v @ u.T)
+    dvec = jnp.array([1.0, 1.0, 0.0], src.dtype) + jnp.array(
+        [0.0, 0.0, 1.0], src.dtype
+    ) * det
+    r_svd = (v * dvec[None, :]) @ u.T
+
+    r = jnp.where(det_h > 1e-12, r_newton, r_svd)
+    t = cd - r @ cs
+    top = jnp.concatenate([r, t[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], src.dtype)
+    return jnp.concatenate([top, bottom], axis=0)

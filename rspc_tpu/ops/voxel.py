@@ -1,0 +1,71 @@
+"""Voxel-grid downsampling as a shape-static sort + segment-mean.
+
+TPU-native replacement for ``pcl::ApproximateVoxelGrid`` (SURVEY.md X5):
+leaf-sized binning with one averaged point (xyz *and* rgb — PCL centroids
+average all fields) per occupied voxel. Reference call sites use leaf
+0.01^3 m (src/icp_edge_based_registration.hpp:47).
+
+Deliberate divergence from PCL (documented per SURVEY.md §7 "reproducing
+reference quirks"): PCL's *Approximate* voxel grid hashes voxels into a
+small table and flushes on collision, so its output depends on point order
+and can emit several points per voxel. We implement the *intended*
+semantics — exact voxel binning via sort + segment reduction — which is
+both deterministic and the better fit for a sort-friendly accelerator.
+
+Everything is static-shape: output capacity ``max_points`` with a validity
+mask; voxels beyond capacity are dropped deterministically (lowest keys
+kept — callers size capacity generously).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rspc_tpu.cloud import Cloud
+
+
+def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
+    """One averaged point per occupied ``leaf_size`` voxel.
+
+    Voxel coordinate = floor(x / leaf) per axis (PCL convention). Points are
+    sorted by voxel key (valid first), segment boundaries found where the
+    key changes, and xyz/rgb segment-mean reduced into ``max_points`` slots.
+    """
+    xyz, rgb, valid = cloud.xyz, cloud.rgb, cloud.valid
+    n = cloud.capacity
+    inv_leaf = 1.0 / leaf_size
+
+    coords = jnp.floor(xyz * inv_leaf).astype(jnp.int32)  # [N,3]
+    big = jnp.int32(2**30)
+    coords = jnp.where(valid[:, None], coords, big)  # invalids sort last
+
+    cx, cy, cz = coords[:, 0], coords[:, 1], coords[:, 2]
+    perm0 = jnp.arange(n, dtype=jnp.int32)
+    sx, sy, sz, perm = jax.lax.sort((cx, cy, cz, perm0), num_keys=3)
+
+    xyz_s = jnp.take(xyz, perm, axis=0)
+    rgb_s = jnp.take(rgb, perm, axis=0)
+    valid_s = jnp.take(valid, perm, axis=0)
+
+    new_seg = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        ]
+    )
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [N]
+
+    in_range = valid_s & (seg_id < max_points)
+    w = in_range.astype(xyz.dtype)
+    seg_safe = jnp.where(in_range, seg_id, 0)
+
+    sum_xyz = jax.ops.segment_sum(xyz_s * w[:, None], seg_safe, num_segments=max_points)
+    sum_rgb = jax.ops.segment_sum(rgb_s * w[:, None], seg_safe, num_segments=max_points)
+    counts = jax.ops.segment_sum(w, seg_safe, num_segments=max_points)
+
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    out_xyz = sum_xyz / denom
+    out_rgb = sum_rgb / denom
+    out_valid = counts > 0
+    return Cloud(xyz=out_xyz, rgb=out_rgb, valid=out_valid)

@@ -1,15 +1,30 @@
 """Test harness configuration.
 
 Tests run on CPU with 8 virtual XLA devices so that multi-chip sharding
-paths compile and execute without TPU hardware (SURVEY.md §4). Must run
-before jax is imported anywhere.
+paths compile and execute without TPU hardware (SURVEY.md §4).
+
+GOTCHA: this environment's sitecustomize (on PYTHONPATH) imports jax and
+registers the 'axon' TPU plugin at interpreter startup, so JAX_PLATFORMS
+set via os.environ here is read too late. jax.config.update still works
+because no backend has been *initialized* yet; XLA_FLAGS is read at backend
+init, so setting it here is still in time.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_sessionstart(session):
+    devs = jax.devices()
+    assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
+    assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
