@@ -1,0 +1,187 @@
+"""Point-to-point ICP with PCL-parity convergence semantics.
+
+TPU-native replacement for ``pcl::IterativeClosestPoint`` as configured by
+the reference (SURVEY.md X1; src/icp_edge_based_registration.hpp:41-52,
+src/incremental_icp.hpp:46-49). The whole solve is one jittable
+``lax.while_loop``: tiled-NN correspondences -> weighted rigid fit ->
+transform update -> PCL ``DefaultConvergenceCriteria`` evaluation, with all
+cloud state in fixed-capacity padded buffers.
+
+Parity notes (the part SURVEY.md §6 flags as hard):
+  * PCL maps ``setTransformationEpsilon(e)`` to translation threshold
+    ``translation_sqr <= e`` and rotation threshold ``cos_angle >= 1 - e``
+    (when no separate rotation epsilon is set), and
+    ``setEuclideanFitnessEpsilon`` to the *relative MSE* threshold. With the
+    reference's e=1 / fitness=1000, the TRANSFORM criterion fires after the
+    FIRST iteration for any incremental step below 90 deg / 1 m — so the
+    reference's "100-iteration" ICP really performs one NN + one SVD step.
+  * Criteria order per iteration: max-iterations -> transform -> absolute
+    MSE -> relative MSE; reaching max iterations still reports
+    ``converged = True`` (PCL's ``failure_after_max_iterations_`` defaults
+    to false).
+  * Fewer than ``min_number_correspondences`` (3) matches aborts with
+    ``converged = False`` (state NO_CORRESPONDENCES) — the reference then
+    skips merging that frame (icp_edge_based_registration.hpp:113-123).
+  * ``align(output, guess)`` seeds ``final_transformation`` with the guess
+    and correspondences are searched from the guess-transformed source;
+    ``getFinalTransformation()`` includes the guess.
+  * MSE for the ABS/REL criteria is the mean *squared* correspondence
+    distance of the current iteration's matches (pre-update), as in
+    ``DefaultConvergenceCriteria::calculateMSE``; ``prev_mse`` starts at
+    +max like PCL's ``correspondences_prev_mse_``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rspc_tpu.cloud import Cloud
+from rspc_tpu.config import ICPConfig
+from rspc_tpu.ops.nn import nearest_neighbors
+from rspc_tpu.ops.transform import apply_transform
+from rspc_tpu.ops.umeyama import rigid_fit
+
+# Convergence states, numerically matching pcl::registration::
+# DefaultConvergenceCriteria::ConvergenceState.
+NOT_CONVERGED = 0
+ITERATIONS = 1
+TRANSFORM = 2
+ABS_MSE = 3
+REL_MSE = 4
+NO_CORRESPONDENCES = 5
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class ICPResult:
+    """Mirror of the PCL accessors the reference consumes:
+    ``getFinalTransformation`` / ``hasConverged`` plus the fitness/RMSE the
+    baseline metric requires (SURVEY.md §5 'Metrics')."""
+
+    transform: jax.Array          # f32[4,4] final transformation (incl. guess)
+    converged: jax.Array          # bool
+    state: jax.Array              # i32, ConvergenceState
+    iterations: jax.Array         # i32
+    fitness: jax.Array            # f32 mean squared NN distance (getFitnessScore)
+    inlier_rmse: jax.Array        # f32 RMSE over inlier correspondences
+    n_correspondences: jax.Array  # i32 inliers at the final pose
+
+
+@partial(jax.jit, static_argnames=("config",))
+def icp_align(
+    src: Cloud,
+    tgt: Cloud,
+    config: ICPConfig = ICPConfig(),
+    init_guess: jax.Array | None = None,
+) -> ICPResult:
+    """Align ``src`` onto ``tgt``; returns the PCL-parity result bundle.
+
+    Equivalent reference call: ``icp.align(output, guess)`` with the
+    settings in ``config`` (see ICPConfig for the exact PCL mapping).
+    """
+    dtype = src.xyz.dtype
+    eye = jnp.eye(4, dtype=dtype)
+    guess = eye if init_guess is None else init_guess.astype(dtype)
+
+    max_d2 = jnp.asarray(
+        config.max_correspondence_distance**2, dtype
+    )
+    trans_thresh = jnp.asarray(config.transformation_epsilon, dtype)
+    rot_thresh = jnp.asarray(1.0 - config.transformation_epsilon, dtype)
+    mse_abs = jnp.asarray(config.mse_threshold_absolute, dtype)
+    mse_rel = jnp.asarray(config.euclidean_fitness_epsilon, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def correspondences(final_t):
+        src_t = apply_transform(final_t, src.xyz)
+        d2, idx = nearest_neighbors(
+            src_t, src.valid, tgt.xyz, tgt.valid, chunk=config.target_chunk
+        )
+        w = (
+            (d2 <= max_d2) & src.valid & jnp.isfinite(d2)
+        ).astype(dtype)
+        return src_t, d2, idx, w
+
+    def cond(st):
+        done = st[4]
+        return ~done
+
+    def body(st):
+        final_t, it, prev_mse, state, _ = st
+        src_t, d2, idx, w = correspondences(final_t)
+        n_corr = jnp.sum(w)
+        cur_mse = jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(n_corr, 1.0)
+
+        too_few = n_corr < config.min_number_correspondences
+
+        tgt_m = jnp.take(tgt.xyz, idx, axis=0)
+        t_inc = rigid_fit(src_t, tgt_m, w)
+        new_final = t_inc @ final_t
+        new_it = it + 1
+
+        # PCL DefaultConvergenceCriteria, in order.
+        hit_iters = new_it >= config.max_iterations
+        r = t_inc[:3, :3]
+        cos_angle = 0.5 * (r[0, 0] + r[1, 1] + r[2, 2] - 1.0)
+        t_sqr = jnp.sum(t_inc[:3, 3] ** 2)
+        hit_transform = (cos_angle >= rot_thresh) & (t_sqr <= trans_thresh)
+        hit_abs = jnp.abs(cur_mse - prev_mse) < mse_abs
+        hit_rel = (
+            jnp.abs(cur_mse - prev_mse) / jnp.maximum(prev_mse, 1e-30) < mse_rel
+        )
+
+        new_state = jnp.where(
+            too_few,
+            NO_CORRESPONDENCES,
+            jnp.where(
+                hit_iters,
+                ITERATIONS,
+                jnp.where(
+                    hit_transform,
+                    TRANSFORM,
+                    jnp.where(hit_abs, ABS_MSE, jnp.where(hit_rel, REL_MSE, NOT_CONVERGED)),
+                ),
+            ),
+        ).astype(jnp.int32)
+        done = new_state != NOT_CONVERGED
+
+        # On a too-few abort PCL breaks before updating the transform.
+        out_final = jnp.where(too_few, final_t, new_final)
+        return (out_final, new_it, cur_mse, new_state, done)
+
+    init = (guess, jnp.int32(0), big, jnp.int32(NOT_CONVERGED), jnp.bool_(False))
+    final_t, iters, _, state, _ = jax.lax.while_loop(cond, body, init)
+
+    converged = (state != NOT_CONVERGED) & (state != NO_CORRESPONDENCES)
+
+    # getFitnessScore(): mean squared NN distance at the final pose over all
+    # valid source points (max_range defaults to +inf in PCL), plus the
+    # inlier-only RMSE the bench reports.
+    src_t, d2, _, w = correspondences(final_t)
+    nv = jnp.maximum(jnp.sum(src.valid.astype(dtype)), 1.0)
+    finite_d2 = jnp.where(src.valid, jnp.where(jnp.isfinite(d2), d2, 0.0), 0.0)
+    fitness = jnp.sum(finite_d2) / nv
+    n_inl = jnp.sum(w)
+    inlier_rmse = jnp.sqrt(
+        jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(n_inl, 1.0)
+    )
+
+    return ICPResult(
+        transform=final_t,
+        converged=converged,
+        state=state,
+        iterations=iters,
+        fitness=fitness,
+        inlier_rmse=inlier_rmse,
+        n_correspondences=n_inl.astype(jnp.int32),
+    )
