@@ -1,0 +1,349 @@
+"""Normal Distributions Transform registration (Magnusson 2009).
+
+TPU-native replacement for ``pcl::NormalDistributionsTransform`` as
+configured by the reference (SURVEY.md X2;
+src/ndt_edge_based_registration.hpp:38-43): target voxelization at
+``resolution`` into per-voxel Gaussians, Newton optimization of the NDT
+score with a More-Thuente line search capped at ``step_size``, pose
+parameterized as ``p = (tx, ty, tz, roll, pitch, yaw)`` with
+``T = Trans(t) @ Rx(roll) @ Ry(pitch) @ Rz(yaw)`` (PCL convertTransform).
+
+TPU-first design choices:
+  * The voxel Gaussian table is built with the same sort+segment-reduce
+    machinery as the voxel filter (no host round trips); covariances get
+    PCL's eigenvalue inflation (eigvals < 0.01 * lambda_max are raised)
+    via a batched 3x3 ``eigh``.
+  * PCL's kd-tree radiusSearch over voxel means (radius = resolution)
+    becomes a 27-neighborhood lookup: a voxel mean within ``resolution``
+    of a point always lies in one of the 3^3 adjacent voxels, found by
+    binary search over packed sorted keys, then distance-filtered — an
+    exact, gather-friendly equivalent.
+  * Score gradient and Hessian come from **autodiff** (jax.grad /
+    jax.hessian of the scalar score in the 6 pose parameters) instead of
+    PCL's hand-derived point Jacobians — exact derivatives, one code path.
+  * Newton solve + More-Thuente line search run inside a
+    ``lax.while_loop``; the line search reproduces PCL's
+    sufficient-decrease (mu=1e-4) / curvature (nu=0.9) logic with
+    interval updating, bounded by ``step_size`` and 10 trial iterations.
+
+Gauss mixture coefficients follow PCL exactly:
+  c1 = 10 (1 - outlier_ratio), c2 = outlier_ratio / res^3,
+  d3 = -log(c2), d1 = -log(c1 + c2) - d3,
+  d2 = -2 log((-log(c1 e^{-1/2} + c2) - d3) / d1).
+Per point-voxel pair: score += -d1 exp(-d2/2 x^T S^-1 x), maximized; we
+minimize the negation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rspc_tpu.cloud import Cloud
+from rspc_tpu.config import NDTConfig
+from rspc_tpu.ops.transform import rotation_matrix
+
+_KEY_OFFSET = 512  # voxel coords packed as 10-bit fields (scene within ±512 cells)
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class NDTGrid:
+    """Target voxel-Gaussian table (pcl::VoxelGridCovariance equivalent)."""
+
+    keys: jax.Array      # i32[V] packed voxel coords, sorted ascending
+    means: jax.Array     # f32[V,3]
+    inv_covs: jax.Array  # f32[V,3,3]
+    valid: jax.Array     # bool[V]
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class NDTResult:
+    transform: jax.Array   # f32[4,4] final transformation (incl. guess)
+    converged: jax.Array   # bool (PCL: true on iterations or epsilon)
+    iterations: jax.Array  # i32
+    score: jax.Array       # f32 summed NDT score (higher is better)
+    trans_probability: jax.Array  # f32 score / n_points (PCL accessor)
+
+
+def _pack(coords: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.clip(coords + _KEY_OFFSET, 0, 1023)
+    return (c[..., 0] << 20) | (c[..., 1] << 10) | c[..., 2]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def build_ndt_grid(target: Cloud, config: NDTConfig = NDTConfig()) -> NDTGrid:
+    """Voxelize the target into per-voxel Gaussians.
+
+    PCL semantics: sample covariance (n-1 normalization), voxels with
+    fewer than ``min_points_per_voxel`` (6) discarded, eigenvalue
+    inflation at 0.01 * lambda_max (VoxelGridCovariance defaults).
+    """
+    xyz, valid = target.xyz, target.valid
+    n = target.capacity
+    vmax = config.max_voxels
+    res = config.resolution
+
+    coords = jnp.floor(xyz / res).astype(jnp.int32)
+    keys = jnp.where(valid, _pack(coords), jnp.int32(2**30))
+
+    perm0 = jnp.arange(n, dtype=jnp.int32)
+    keys_s, perm = jax.lax.sort((keys, perm0), num_keys=1)
+    xyz_s = jnp.take(xyz, perm, axis=0)
+    valid_s = jnp.take(valid, perm, axis=0)
+
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), keys_s[1:] != keys_s[:-1]]
+    )
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    in_range = valid_s & (seg_id < vmax)
+    w = in_range.astype(xyz.dtype)
+    seg_safe = jnp.where(in_range, seg_id, 0)
+
+    counts = jax.ops.segment_sum(w, seg_safe, num_segments=vmax)
+    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg_safe, num_segments=vmax)
+    outer = xyz_s[:, :, None] * xyz_s[:, None, :] * w[:, None, None]
+    sq_sums = jax.ops.segment_sum(outer, seg_safe, num_segments=vmax)
+    seg_keys = jax.ops.segment_max(
+        jnp.where(in_range, keys_s, -(2**30)), seg_safe, num_segments=vmax
+    )
+
+    cnt = jnp.maximum(counts, 1.0)
+    means = sums / cnt[:, None]
+    # sample covariance with n-1 normalization (PCL VoxelGridCovariance)
+    cov = (sq_sums - cnt[:, None, None] * means[:, :, None] * means[:, None, :]) / (
+        jnp.maximum(counts - 1.0, 1.0)[:, None, None]
+    )
+
+    ok = counts >= config.min_points_per_voxel
+
+    # Eigenvalue inflation + inverse, batched 3x3 eigh.
+    cov_safe = jnp.where(ok[:, None, None], cov, jnp.eye(3, dtype=cov.dtype))
+    evals, evecs = jnp.linalg.eigh(cov_safe)
+    lam_max = evals[:, 2]
+    floor = 0.01 * lam_max
+    evals_inf = jnp.maximum(evals, floor[:, None])
+    evals_inf = jnp.maximum(evals_inf, 1e-12)
+    inv_cov = jnp.einsum(
+        "vij,vj,vkj->vik", evecs, 1.0 / evals_inf, evecs,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    return NDTGrid(
+        keys=jnp.where(ok, seg_keys, jnp.int32(2**30 + 1)),
+        means=jnp.where(ok[:, None], means, 0.0),
+        inv_covs=jnp.where(ok[:, None, None], inv_cov, 0.0),
+        valid=ok,
+    )
+
+
+def _gauss_coeffs(config: NDTConfig):
+    import math
+
+    c1 = 10.0 * (1.0 - config.outlier_ratio)
+    c2 = config.outlier_ratio / (config.resolution**3)
+    d3 = -math.log(c2)
+    d1 = -math.log(c1 + c2) - d3
+    d2 = -2.0 * math.log(
+        (-math.log(c1 * math.exp(-0.5) + c2) - d3) / d1
+    )
+    return d1, d2
+
+
+def _pose_to_matrix(p: jnp.ndarray) -> jnp.ndarray:
+    """T = Trans(p[:3]) @ Rx(p3) @ Ry(p4) @ Rz(p5) (PCL convertTransform)."""
+    r = (
+        rotation_matrix(p[3], 0)
+        @ rotation_matrix(p[4], 1)
+        @ rotation_matrix(p[5], 2)
+    )
+    top = jnp.concatenate([r, p[:3][:, None]], axis=1)
+    return jnp.concatenate(
+        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], p.dtype)], axis=0
+    )
+
+
+def _matrix_to_pose(t: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _pose_to_matrix: euler extraction for R = Rx(a)Ry(b)Rz(c)
+    (Eigen eulerAngles(0,1,2) convention, principal branch)."""
+    r = t[:3, :3]
+    b = jnp.arcsin(jnp.clip(r[0, 2], -1.0, 1.0))
+    c = jnp.arctan2(-r[0, 1], r[0, 0])
+    a = jnp.arctan2(-r[1, 2], r[2, 2])
+    return jnp.concatenate([t[:3, 3], jnp.stack([a, b, c])])
+
+
+def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
+    """Returns f(p) = -score(p): minimized by Newton. One [N,27] gather +
+    quadratic-form + exp sweep, fully fused."""
+    d1, d2 = _gauss_coeffs(config)
+    res = config.resolution
+    xyz, valid = src.xyz, src.valid
+    w_src = valid.astype(xyz.dtype)
+
+    offs = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(27, 3)
+
+    def objective(p):
+        t = _pose_to_matrix(p)
+        pts = xyz @ t[:3, :3].T + t[:3, 3]
+        coords = jnp.floor(pts / res).astype(jnp.int32)  # [N,3]
+        keys = _pack(coords[:, None, :] + offs[None, :, :])  # [N,27]
+        idx = jnp.searchsorted(grid.keys, keys)  # [N,27]
+        idx = jnp.clip(idx, 0, grid.keys.shape[0] - 1)
+        hit = (jnp.take(grid.keys, idx) == keys) & jnp.take(grid.valid, idx)
+        mu = jnp.take(grid.means, idx.reshape(-1), axis=0).reshape(
+            keys.shape + (3,)
+        )
+        ic = jnp.take(grid.inv_covs, idx.reshape(-1), axis=0).reshape(
+            keys.shape + (3, 3)
+        )
+        x = pts[:, None, :] - mu  # [N,27,3]
+        within = jnp.sum(x * x, axis=-1) <= res * res  # radiusSearch(res)
+        q = jnp.einsum(
+            "nki,nkij,nkj->nk", x, ic, x,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        contrib = -d1 * jnp.exp(-0.5 * d2 * q)
+        contrib = jnp.where(hit & within, contrib, 0.0) * w_src[:, None]
+        score = jnp.sum(contrib)
+        return -score  # minimize
+
+    return objective
+
+
+def _more_thuente(objective, p, direction, step_init, step_max, config: NDTConfig):
+    """Line search along ``direction`` reproducing PCL computeStepLengthMT's
+    acceptance logic: sufficient decrease mu=1e-4 and curvature nu=0.9 on
+    phi(a) = f(p + a d), with bisection-style interval updates, at most
+    ``line_search_max_iterations`` trials, steps in [step_min, step_max].
+    """
+    mu, nu = 1e-4, 0.9
+    step_min = config.transformation_epsilon / 2.0
+    vg = jax.value_and_grad(objective)
+
+    phi0, g0 = vg(p)
+    dphi0 = jnp.dot(g0, direction)
+    # PCL: non-descent direction reverses the step.
+    reverse = dphi0 > 0
+    direction = jnp.where(reverse, -direction, direction)
+    dphi0 = jnp.where(reverse, -dphi0, dphi0)
+
+    a_t = jnp.clip(step_init, step_min, step_max)
+
+    def trial(a):
+        f, g = vg(p + a * direction)
+        return f, jnp.dot(g, direction)
+
+    def cond(st):
+        it, a_l, a_u, a_t, done = st
+        return (~done) & (it < config.line_search_max_iterations)
+
+    def body(st):
+        it, a_l, a_u, a_t, _ = st
+        f_t, g_t = trial(a_t)
+        suff = f_t <= phi0 + mu * a_t * dphi0
+        curv = jnp.abs(g_t) <= nu * jnp.abs(dphi0)
+        done = suff & curv
+        # interval update (More-Thuente cases collapsed to safeguarded
+        # bisection/extrapolation):
+        too_high = ~suff
+        new_a_u = jnp.where(too_high, a_t, a_u)
+        new_a_l = jnp.where(too_high, a_l, a_t)
+        # next trial: bisect when bracketed, else extrapolate toward max
+        bracketed = new_a_u > 0
+        next_a = jnp.where(
+            bracketed,
+            0.5 * (new_a_l + new_a_u),
+            jnp.minimum(2.0 * a_t, step_max),
+        )
+        next_a = jnp.clip(next_a, step_min, step_max)
+        return it + 1, new_a_l, new_a_u, jnp.where(done, a_t, next_a), done
+
+    init = (jnp.int32(0), jnp.zeros(()), jnp.zeros(()), a_t, jnp.bool_(False))
+    _, a_l, _, a_fin, done = jax.lax.while_loop(cond, body, init)
+    # fall back to the best lower bound if no Wolfe point found
+    a_result = jnp.where(done, a_fin, jnp.maximum(a_l, step_min))
+    f_res, _ = trial(a_result)
+    improved = f_res < phi0
+    a_result = jnp.where(improved, a_result, 0.0)
+    return a_result, direction
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ndt_align(
+    src: Cloud,
+    grid: NDTGrid,
+    config: NDTConfig = NDTConfig(),
+    init_guess: jax.Array | None = None,
+) -> NDTResult:
+    """Align ``src`` onto the NDT grid (PCL ndt.align(output, guess)).
+
+    Convergence matches PCL: stop when ``|delta_p| < transformation_epsilon``
+    or the iteration cap is reached; both report converged=True.
+    """
+    dtype = src.xyz.dtype
+    guess = (
+        jnp.eye(4, dtype=dtype) if init_guess is None else init_guess.astype(dtype)
+    )
+    objective = _make_objective(src, grid, config)
+    hess_fn = jax.hessian(objective)
+    grad_fn = jax.grad(objective)
+
+    p0 = _matrix_to_pose(guess)
+
+    def cond(st):
+        p, it, done = st
+        return ~done
+
+    def body(st):
+        p, it, _ = st
+        g = grad_fn(p)
+        h = hess_fn(p)
+        # Safeguarded Newton: solve (H + lambda I) d = -g with small ridge
+        # (PCL relies on JacobiSVD least squares; the ridge handles the
+        # same rank-deficient cases).
+        ridge = 1e-6 * jnp.trace(h) / 6.0
+        h_reg = h + jnp.abs(ridge) * jnp.eye(6, dtype=dtype)
+        delta = jnp.linalg.solve(h_reg, -g)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, -g)
+        norm = jnp.linalg.norm(delta)
+        direction = delta / jnp.maximum(norm, 1e-30)
+        step, direction = _more_thuente(
+            objective, p, direction, norm, config.step_size, config
+        )
+        new_p = p + step * direction
+        new_it = it + 1
+        done = (step * jnp.ones(()) < config.transformation_epsilon) | (
+            new_it >= config.max_iterations
+        )
+        return new_p, new_it, done
+
+    p_fin, iters, _ = jax.lax.while_loop(
+        cond, body, (p0, jnp.int32(0), jnp.bool_(False))
+    )
+
+    score = -objective(p_fin)
+    n = jnp.maximum(jnp.sum(src.valid.astype(dtype)), 1.0)
+    return NDTResult(
+        transform=_pose_to_matrix(p_fin),
+        converged=jnp.bool_(True),
+        iterations=iters,
+        score=score,
+        trans_probability=score / n,
+    )
