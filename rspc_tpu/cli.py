@@ -1,0 +1,222 @@
+"""Command-line surface mirroring the reference's ``rs-pcl`` binary.
+
+Option grammar, positional-argument counts, and dataset-directory behavior
+replicate src/main.cpp:185-237 exactly, including:
+  * ``--registration PREFIX N`` (4 args) -> NDT scheme with the default
+    -30 deg accumulated guess; ``--registration PREFIX DEG N`` (5 args)
+    converts degrees via (deg/180)*pi (main.cpp:204-221);
+  * ``--edges FILE`` loads ``dataset/FILE`` (the filename includes .pcd in
+    the reference's usage) (main.cpp:58-74);
+  * ``--view NAME`` loads ``dataset/NAME.pcd`` (main.cpp:101-115);
+  * the registration output path has no ``.pcd`` extension (main.cpp:87);
+  * no arguments or unknown options print help and exit 1.
+
+Divergences, by necessity of hardware: capture paths accept an optional
+trailing SOURCE argument (a replay ``.npz`` or the literal ``synthetic``)
+since no RealSense camera attaches to a TPU host; the GLFW render loop is
+replaced by a headless render to ``<output>.png`` using the same camera
+model (viz/render.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from rspc_tpu.config import PipelineConfig
+
+DATASET = "dataset"
+
+
+def _source(arg: Optional[str], frames: int):
+    """Build a capture source: replay npz path or synthetic scene."""
+    from rspc_tpu.capture.replay import ReplaySource
+
+    if arg is None or arg == "synthetic":
+        from rspc_tpu.capture.synthetic import SyntheticSequence
+        from rspc_tpu.ops.deproject import Intrinsics
+
+        seq = SyntheticSequence(
+            n_frames=frames, yaw_step=-0.15, intr=Intrinsics.simple(640, 480)
+        )
+        depths, colors = [], []
+        for d, c in seq.frames():
+            depths.append(np.asarray(d))
+            colors.append(np.asarray(c))
+        stream, snap = seq.imu_stream()
+        ts = np.asarray(stream.ts)[snap]
+        gyro = np.asarray(stream.data)[snap - 1]
+        accel = np.asarray(stream.data)[snap]
+        return ReplaySource(
+            {
+                "depth": np.stack(depths),
+                "color": np.stack(colors),
+                "ts": ts,
+                "gyro": gyro,
+                "accel": accel,
+                "intr": np.asarray(
+                    [seq.intr.width, seq.intr.height, seq.intr.fx, seq.intr.fy,
+                     seq.intr.ppx, seq.intr.ppy],
+                    np.float32,
+                ),
+            }
+        )
+    return ReplaySource(arg)
+
+
+def capture(prefix: str, frames: int, source_arg: Optional[str] = None) -> None:
+    """``--capture``: capture clouds and save dataset/{prefix}-{i}.pcd
+    (main.cpp:37-56). The reference's v2 capture keeps full resolution and
+    computes (then discards) SIFT visual-odometry transforms; the feature
+    odometry here is exposed via rspc_tpu.capture.odometry when available."""
+    from rspc_tpu.capture.replay import get_clouds
+    from rspc_tpu.config import CaptureConfig
+    from rspc_tpu.io.dataset import save_dataset_clouds
+
+    src = _source(source_arg, frames)
+    cfg = CaptureConfig(center_crop=False, bgr_color=False)  # v2: full res
+    clouds, _thetas = get_clouds(src, frames, cfg)
+    if len(clouds) < frames:
+        print(f"[RS]  only captured {len(clouds)}/{frames} frames", file=sys.stderr)
+    save_dataset_clouds(prefix, clouds, DATASET)
+    for i in range(len(clouds)):
+        print(f"[RS]    Saved {DATASET}/{prefix}-{i}.pcd")
+
+
+def edges(filename: str) -> None:
+    """``--edges``: extract RGB-edge features from dataset/FILE and render
+    (main.cpp:58-74)."""
+    from rspc_tpu.cloud import OrganizedCloud
+    from rspc_tpu.io.pcd import load_pcd
+    from rspc_tpu.ops.edges import extract_edge_features
+    from rspc_tpu.viz.render import render_to_png
+
+    cloud = load_pcd(os.path.join(DATASET, filename))
+    if not isinstance(cloud, OrganizedCloud):
+        print("error: edge extraction requires an organized cloud", file=sys.stderr)
+        raise SystemExit(1)
+    result = extract_edge_features(cloud)
+    out = os.path.join(DATASET, filename + ".edges.png")
+    render_to_png(out, result)
+    print(f"[PCL] Edge render saved to {out}")
+
+
+def registration(prefix: str, scheme, frames: int) -> None:
+    """``--registration`` driver (main.cpp:76-99): load
+    dataset/{prefix}-{i}.pcd, run the scheme, save
+    dataset/{prefix}-registration (no extension — reference quirk), render."""
+    from rspc_tpu.io.dataset import load_dataset_clouds, registration_output_path
+    from rspc_tpu.io.pcd import save_pcd
+    from rspc_tpu.viz.render import render_to_png
+
+    clouds = load_dataset_clouds(prefix, frames, DATASET)
+    result = scheme.registration(clouds)
+    out = registration_output_path(prefix, DATASET)
+    save_pcd(out, result, keep_invalid=False)
+    print(f"[PCL] Saved {out}")
+    png = out + ".png"
+    render_to_png(png, result)
+    print(f"[PCL] Render saved to {png}")
+
+
+def viewer(name: str) -> None:
+    """``--view``: render dataset/{name}.pcd (main.cpp:101-115)."""
+    from rspc_tpu.io.pcd import load_pcd
+    from rspc_tpu.viz.render import render_to_png
+
+    path = os.path.join(DATASET, name + ".pcd")
+    cloud = load_pcd(path)
+    out = path + ".png"
+    render_to_png(out, cloud)
+    print(f"Render saved to {out}")
+
+
+def capture_and_registration(
+    frames: int, icp_based_filename: str, source_arg: Optional[str] = None
+) -> None:
+    """``--all``: live capture + ICP-edge registration with IMU thetas
+    (main.cpp:117-134)."""
+    from rspc_tpu.capture.replay import get_clouds
+    from rspc_tpu.io.pcd import save_pcd
+    from rspc_tpu.registration.schemes import ICPEdgeBasedRegistration
+
+    src = _source(source_arg, frames)
+    clouds, thetas = get_clouds(src, frames)
+    scheme = ICPEdgeBasedRegistration(thetas=thetas, dataset_dir=DATASET)
+    result = scheme.registration(clouds)
+    os.makedirs(DATASET, exist_ok=True)
+    out = os.path.join(DATASET, icp_based_filename + ".pcd")
+    save_pcd(out, result, keep_invalid=False)
+    print(f"[PCL] Saved {out}")
+
+
+HELP = """Usage: rspc [OPTION] NR_CLOUDS...
+Capture, perform registration, or do both for NR_CLOUDS time.
+Example: rspc --all 4
+
+Options:
+  --all NR_CLOUDS FILENAME [SOURCE]
+      capture and perform registration for NR_CLOUDS time
+      using dynamic rotation estimation from the (replayed) IMU.
+  --capture FILENAME NR_CLOUDS [SOURCE]
+      capture clouds for NR_CLOUDS time and save them to
+      dataset/${FILENAME}-${CLOUD_IDX}.pcd
+  --edges FILENAME
+      extract edges from a pointcloud saved at dataset/${FILENAME}
+  --registration FILENAME [ROTATION_DEG] NR_CLOUDS
+      perform registration on files named dataset/${FILENAME}-${CLOUD_IDX}.pcd
+      using estimated rotation degree of ROTATION_DEG as initial guesses.
+      Default ROTATION_DEG: -30 degrees
+  --view FILENAME
+      render pointcloud saved at dataset/${FILENAME}.pcd
+  --help
+      print this help
+
+SOURCE is an optional replay recording (.npz) or 'synthetic' (default) —
+no camera attaches to a TPU host; see rspc_tpu.capture.replay for the
+recording format."""
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = list(sys.argv if argv is None else argv)
+    argc = len(args)
+
+    if argc == 1:
+        print(HELP)
+        return 1
+    opt = args[1]
+
+    if opt == "--capture" and argc in (4, 5):
+        capture(args[2], int(args[3]), args[4] if argc == 5 else None)
+        return 0
+    if opt == "--edges" and argc == 3:
+        edges(args[2])
+        return 0
+    if opt == "--registration" and argc == 4:
+        from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
+
+        registration(args[2], NDTEdgeBasedRegistration(), int(args[3]))
+        return 0
+    if opt == "--registration" and argc == 5:
+        from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
+
+        rotation_deg = int(args[3])
+        rads = (rotation_deg / 180.0) * np.pi  # main.cpp:215
+        registration(args[2], NDTEdgeBasedRegistration(rads=rads), int(args[4]))
+        return 0
+    if opt == "--view" and argc == 3:
+        viewer(args[2])
+        return 0
+    if opt == "--all" and argc in (4, 5):
+        capture_and_registration(int(args[2]), args[3], args[4] if argc == 5 else None)
+        return 0
+
+    print(HELP)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

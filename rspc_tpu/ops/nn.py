@@ -100,9 +100,17 @@ def nearest_neighbors(
 
     init = (jnp.full((n,), jnp.inf, dtype), jnp.zeros((n,), jnp.int32))
     bases = (jnp.arange(num_chunks, dtype=jnp.int32) * chunk)
-    (best_score, best_idx), _ = jax.lax.scan(
-        body, init, (t_chunks, tv_chunks, bases)
-    )
+    # Seed the carry by processing chunk 0 inline: the carry then derives
+    # from the (possibly mesh-sharded) target data, which keeps shard_map's
+    # varying-manual-axes bookkeeping consistent when this runs inside a
+    # sharded sweep (parallel/nn.py).
+    carry0, _ = body(init, (t_chunks[0], tv_chunks[0], bases[0]))
+    if num_chunks > 1:
+        (best_score, best_idx), _ = jax.lax.scan(
+            body, carry0, (t_chunks[1:], tv_chunks[1:], bases[1:])
+        )
+    else:
+        best_score, best_idx = carry0
 
     # Exact re-score of the winners (cancellation-free).
     t_win = jnp.take(tgt_xyz, best_idx, axis=0)

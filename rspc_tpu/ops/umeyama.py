@@ -38,17 +38,76 @@ def _adjugate3(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def _polar_rotation(x: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
-    """Orthogonal polar factor of a (nonsingular, det>0) 3x3 via Newton
-    iteration X <- (X + X^{-T}) / 2, Frobenius-normalized start."""
+    """Orthogonal polar factor of a (nonsingular, det>0) 3x3 via the
+    norm-scaled Newton iteration X <- (g X + X^{-T}/g) / 2 with
+    g = (||X^-1||_F / ||X||_F)^{1/2} — the scaling keeps convergence fast
+    (and bounded) even for ill-conditioned inputs."""
     x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
 
     def body(_, x):
         cof = _adjugate3(x)
         det = jnp.sum(x[0] * cof[0])  # det via first-row cofactor expansion
         x_invt = cof / det
-        return 0.5 * (x + x_invt)
+        g = jnp.sqrt(
+            jnp.maximum(jnp.linalg.norm(x_invt), 1e-30)
+            / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+        )
+        return 0.5 * (g * x + x_invt / g)
 
     return jax.lax.fori_loop(0, iters, body, x)
+
+
+def fit_moments(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray):
+    """Raw weighted moments of a correspondence set:
+    ``(sw, ss f32[3], sd f32[3], m f32[3,3])`` with
+    sw = sum w, ss = sum w*src, sd = sum w*dst, m = sum w*src dst^T.
+
+    Moments are additive across shards, so a mesh-sharded fit is just a
+    ``psum`` of these followed by ``rigid_fit_from_moments`` — the
+    collective-friendly decomposition the multi-chip path uses
+    (parallel/icp.py)."""
+    w = weights.astype(src.dtype)
+    sw = jnp.sum(w)
+    ss = jnp.sum(src * w[:, None], axis=0)
+    sd = jnp.sum(dst * w[:, None], axis=0)
+    # precision=HIGHEST: the N-length contraction feeds the 3x3 rotation
+    # solve; TPU bf16 MXU truncation is not acceptable here.
+    m = jnp.matmul(
+        (src * w[:, None]).T, dst, precision=jax.lax.Precision.HIGHEST
+    )
+    return sw, ss, sd, m
+
+
+def rigid_fit_from_moments(sw, ss, sd, m) -> jnp.ndarray:
+    """Rigid transform from raw moments (see fit_moments):
+    demeaned H = m - ss sd^T / sw; R = argmax tr(R H); t = cd - R cs."""
+    swc = jnp.maximum(sw, 1e-12)
+    cs = ss / swc
+    cd = sd / swc
+    h = m - jnp.outer(ss, sd) / swc
+    src_dtype = h.dtype
+
+    # Relative nonsingularity test: h is unnormalized (scales with point
+    # count), so the det guard must be scale-free. Rank-deficient /
+    # near-planar correspondence sets fall through to the SVD path.
+    h_norm = jnp.maximum(jnp.linalg.norm(h), 1e-30)
+    det_rel = jnp.linalg.det(h / h_norm)
+    r_newton = _polar_rotation(h.T)
+
+    # SVD fallback with reflection correction (degenerate/planar sets).
+    u, _, vt = jnp.linalg.svd(h)
+    v = vt.T
+    det = jnp.linalg.det(v @ u.T)
+    dvec = jnp.array([1.0, 1.0, 0.0], src_dtype) + jnp.array(
+        [0.0, 0.0, 1.0], src_dtype
+    ) * det
+    r_svd = (v * dvec[None, :]) @ u.T
+
+    r = jnp.where(det_rel > 1e-4, r_newton, r_svd)
+    t = cd - r @ cs
+    top = jnp.concatenate([r, t[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], src_dtype)
+    return jnp.concatenate([top, bottom], axis=0)
 
 
 def rigid_fit(
@@ -67,32 +126,4 @@ def rigid_fit(
     both sets, H = sum w (src-cs)(dst-cd)^T, R = argmax tr(R H) with
     det(R)=+1, t = centroid_dst - R centroid_src.
     """
-    w = weights.astype(src.dtype)
-    wsum = jnp.maximum(jnp.sum(w), 1e-12)
-    cs = jnp.sum(src * w[:, None], axis=0) / wsum
-    cd = jnp.sum(dst * w[:, None], axis=0) / wsum
-    src_d = (src - cs) * w[:, None]
-    dst_d = dst - cd
-    # precision=HIGHEST: the N-length contraction feeds the 3x3 rotation
-    # solve; TPU bf16 MXU truncation is not acceptable here.
-    h = jnp.matmul(
-        src_d.T, dst_d, precision=jax.lax.Precision.HIGHEST
-    )  # 3x3
-
-    det_h = jnp.linalg.det(h)
-    r_newton = _polar_rotation(h.T)
-
-    # SVD fallback with reflection correction (degenerate/planar sets).
-    u, _, vt = jnp.linalg.svd(h)
-    v = vt.T
-    det = jnp.linalg.det(v @ u.T)
-    dvec = jnp.array([1.0, 1.0, 0.0], src.dtype) + jnp.array(
-        [0.0, 0.0, 1.0], src.dtype
-    ) * det
-    r_svd = (v * dvec[None, :]) @ u.T
-
-    r = jnp.where(det_h > 1e-12, r_newton, r_svd)
-    t = cd - r @ cs
-    top = jnp.concatenate([r, t[:, None]], axis=1)
-    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], src.dtype)
-    return jnp.concatenate([top, bottom], axis=0)
+    return rigid_fit_from_moments(*fit_moments(src, dst, weights))

@@ -1,0 +1,109 @@
+"""Headless renderer + CLI surface tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rspc_tpu import cli
+from rspc_tpu.capture.synthetic import SyntheticSequence
+from rspc_tpu.cloud import Cloud
+from rspc_tpu.io.dataset import save_dataset_clouds
+from rspc_tpu.io.pcd import save_pcd
+from rspc_tpu.ops.deproject import Intrinsics
+from rspc_tpu.viz.png import write_png
+from rspc_tpu.viz.render import BG, ViewState, render_to_png
+
+
+def test_png_writer_roundtrip(tmp_path):
+    img = np.zeros((4, 6, 3), np.uint8)
+    img[1, 2] = [255, 0, 128]
+    p = tmp_path / "t.png"
+    write_png(str(p), img)
+    raw = p.read_bytes()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in raw and b"IEND" in raw
+
+
+def test_render_cloud_draws_points(tmp_path):
+    # a red point 1m ahead must land near the image center
+    c = Cloud.from_numpy(
+        np.array([[0.0, 0.0, 1.0]], np.float32),
+        np.array([[255.0, 0.0, 0.0]], np.float32),
+    )
+    img = render_to_png(str(tmp_path / "r.png"), c, width=64, height=48)
+    assert img.shape == (48, 64, 3)
+    # background everywhere except the point
+    assert (img == BG).all(axis=-1).mean() > 0.99
+    ys, xs = np.where(~(img == BG).all(axis=-1))
+    assert len(ys) >= 1
+    assert abs(xs[0] - 32) <= 1 and abs(ys[0] - 24) <= 1
+    assert tuple(img[ys[0], xs[0]]) == (255, 0, 0)
+
+
+def test_render_depth_test(tmp_path):
+    # nearer point must win the z-buffer
+    c = Cloud.from_numpy(
+        np.array([[0, 0, 1.0], [0, 0, 2.0]], np.float32),
+        np.array([[0, 255, 0], [255, 0, 0]], np.float32),
+    )
+    img = render_to_png(str(tmp_path / "z.png"), c, width=64, height=48)
+    ys, xs = np.where(~(img == BG).all(axis=-1))
+    assert tuple(img[ys[0], xs[0]]) == (0, 255, 0)
+
+
+def test_render_yaw_moves_point(tmp_path):
+    c = Cloud.from_numpy(np.array([[0.0, 0.0, 1.0]], np.float32),
+                         np.array([[255.0, 255.0, 255.0]], np.float32))
+    st = ViewState()
+    st.drag(30.0, 0.0)  # yaw -30
+    img = render_to_png(str(tmp_path / "y.png"), c, state=st, width=64, height=48)
+    ys, xs = np.where(~(img == BG).all(axis=-1))
+    assert len(xs) >= 1 and xs[0] != 32  # moved off center
+
+
+def test_view_state_clamps():
+    st = ViewState()
+    st.drag(1000, -1000)
+    assert st.yaw == -120 and st.pitch == -80
+    st.reset()
+    assert st.yaw == 0 and st.pitch == 0
+
+
+@pytest.fixture()
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_cli_help_and_unknown(in_tmp, capsys):
+    assert cli.main(["rspc"]) == 1
+    assert "Usage" in capsys.readouterr().out
+    assert cli.main(["rspc", "--bogus"]) == 1
+
+
+def test_cli_view(in_tmp):
+    os.makedirs("dataset", exist_ok=True)
+    c = Cloud.from_numpy(np.array([[0, 0, 1.0]], np.float32))
+    save_pcd("dataset/demo.pcd", c)
+    assert cli.main(["rspc", "--view", "demo"]) == 0
+    assert os.path.exists("dataset/demo.pcd.png")
+
+
+def test_cli_edges(in_tmp):
+    os.makedirs("dataset", exist_ok=True)
+    seq = SyntheticSequence(n_frames=1, intr=Intrinsics.simple(80, 60))
+    save_dataset_clouds("e", seq.clouds(), "dataset")
+    assert cli.main(["rspc", "--edges", "e-0.pcd"]) == 0
+    assert os.path.exists("dataset/e-0.pcd.edges.png")
+
+
+def test_cli_registration_roundtrip(in_tmp):
+    # save a 2-frame synthetic dataset, then register it via the CLI
+    seq = SyntheticSequence(n_frames=2, yaw_step=-0.1, intr=Intrinsics.simple(80, 60))
+    os.makedirs("dataset", exist_ok=True)
+    save_dataset_clouds("t", seq.clouds(), "dataset")
+    deg = int(round(np.degrees(-0.1)))
+    assert cli.main(["rspc", "--registration", "t", str(deg), "2"]) == 0
+    assert os.path.exists("dataset/t-registration")  # quirk: no extension
+    assert os.path.exists("dataset/t-registration.png")
