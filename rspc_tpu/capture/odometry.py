@@ -1,0 +1,132 @@
+"""Capture v2: full-resolution clouds + keypoint visual odometry.
+
+Reproduces the reference's ``get_clouds_new`` pipeline
+(src/capture_opencv.hpp:239-358; SURVEY.md C9), used by ``--capture``:
+
+  1. the same throttled IMU capture loop as v1 (replay.get_clouds);
+  2. FULL-resolution organized clouds (no 3/5 crop, :128-160);
+  3. per consecutive frame pair: keypoints + descriptors on both color
+     frames, 2-NN ratio matching (Lowe 0.3), RANSAC homography (computed
+     for parity; the reference marks it "does not contribute to the end
+     result", :95);
+  4. matched pixels lifted to 3-D through the organized cloud
+     (``cloud->at(x, y)``, :332-343);
+  5. grid-search TranslationEstimator + per-frame theta -> a 4x4 pose per
+     frame (identity for frame 0, :312-314).
+
+Reference quirks handled per SURVEY.md §7: ``make_thetas_relative`` is a
+no-op in the reference (pass-by-value + wrong rebase index, :228-237) — we
+implement the *intended* rebasing against theta_0 and document the
+divergence; the caller-discards-transforms behavior lives in the CLI
+(cli.capture saves only clouds, like main.cpp:44-53), while this function
+returns the transforms for users who actually want the odometry.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rspc_tpu.cloud import OrganizedCloud
+from rspc_tpu.config import CaptureConfig, TranslationEstimatorConfig
+from rspc_tpu.capture.replay import ReplaySource, get_clouds
+from rspc_tpu.estimators.translation import estimate_translation
+from rspc_tpu.ops.keypoints import (
+    compute_descriptors,
+    detect_keypoints,
+    match_descriptors,
+)
+from rspc_tpu.ops.ransac import ransac_homography
+from rspc_tpu.ops.transform import make_rigid, rotation_matrix
+
+
+def _gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(rgb, axis=-1)
+
+
+def _pose_from_theta_translation(theta, translation) -> np.ndarray:
+    """T * Rz(theta.x) * Ry(-theta.y) * Rx(theta.z) — the same axis mapping
+    as the ICP scheme guess (capture_opencv.hpp:346-349)."""
+    r = (
+        rotation_matrix(jnp.float32(theta[0]), 2)
+        @ rotation_matrix(jnp.float32(-theta[1]), 1)
+        @ rotation_matrix(jnp.float32(theta[2]), 0)
+    )
+    return np.asarray(make_rigid(r, jnp.asarray(translation, jnp.float32)))
+
+
+def get_clouds_new(
+    source: ReplaySource,
+    nr_frames: int,
+    config: CaptureConfig = CaptureConfig(center_crop=False),
+    translation_config: TranslationEstimatorConfig = TranslationEstimatorConfig(),
+    max_keypoints: int = 512,
+) -> List[Tuple[OrganizedCloud, np.ndarray]]:
+    """Returns [(cloud, pose 4x4)] per frame — the v2 capture contract."""
+    cfg = CaptureConfig(
+        throttle_ns=config.throttle_ns,
+        center_crop=False,  # v2 is always full resolution
+        depth_scale=config.depth_scale,
+        bgr_color=config.bgr_color,
+    )
+    clouds, thetas = get_clouds(source, nr_frames, cfg)
+    if not clouds:
+        return []
+
+    # intended behavior of make_thetas_relative (no-op in the reference)
+    rel_thetas = thetas.copy()
+    rel_thetas[1:] = thetas[1:] - thetas[0]
+
+    results: List[Tuple[OrganizedCloud, np.ndarray]] = [
+        (clouds[0], np.eye(4, dtype=np.float32))
+    ]
+    for i in range(1, len(clouds)):
+        prev, cur = clouds[i - 1], clouds[i]
+        g0, g1 = _gray(prev.rgb), _gray(cur.rgb)
+
+        xy0, _, v0 = detect_keypoints(g0, max_keypoints=max_keypoints)
+        xy1, _, v1 = detect_keypoints(g1, max_keypoints=max_keypoints)
+        d0 = compute_descriptors(g0, xy0, v0)
+        d1 = compute_descriptors(g1, xy1, v1)
+        idx_b, good = match_descriptors(d0, v0, d1, v1, ratio=0.3)
+
+        xy_ref = np.asarray(xy0)
+        xy_cmp = np.asarray(jnp.take(xy1, idx_b, axis=0))
+        good_np = np.asarray(good)
+
+        # homography for parity (unused downstream, like the reference)
+        ransac_homography(
+            jnp.asarray(xy_cmp), jnp.asarray(xy_ref), jnp.asarray(good)
+        )
+
+        # lift matched pixels to 3-D via the organized clouds (cloud->at(x,y))
+        def lift(oc, xy):
+            xs = np.clip(xy[:, 0].astype(int), 0, oc.width - 1)
+            ys = np.clip(xy[:, 1].astype(int), 0, oc.height - 1)
+            pts = np.asarray(oc.xyz)[ys, xs]
+            ok = np.asarray(oc.valid)[ys, xs]
+            return pts, ok
+
+        p_ref, ok_r = lift(prev, xy_ref)
+        p_cmp, ok_c = lift(cur, xy_cmp)
+        w = (good_np & ok_r & ok_c).astype(np.float32)
+
+        if w.sum() >= 3:
+            translation = np.asarray(
+                estimate_translation(
+                    jnp.asarray(p_ref),
+                    jnp.asarray(p_cmp),
+                    jnp.asarray(rel_thetas[i], jnp.float32),
+                    weights=jnp.asarray(w),
+                    max_iterations=translation_config.max_iterations,
+                    step=translation_config.step,
+                )
+            )
+        else:
+            translation = np.zeros(3, np.float32)
+
+        pose = _pose_from_theta_translation(rel_thetas[i], translation)
+        results.append((cur, pose))
+    return results

@@ -36,8 +36,9 @@ class ICPConfig:
     mse_threshold_absolute: float = 1e-12   # PCL default absolute MSE threshold
     min_number_correspondences: int = 3     # PCL Registration default
     # TPU execution knobs (no reference analog):
-    target_chunk: int = 2048   # target tile size for the NN sweep
-    use_pallas: bool = False   # use the Pallas NN kernel (TPU only)
+    target_chunk: int = 2048   # target tile size for the XLA NN sweep
+    use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back
+                               # to the XLA sweep on other backends)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +59,11 @@ class NDTConfig:
     line_search_max_iterations: int = 10  # PCL computeStepLengthMT max
     # Static capacity for the target voxel table (TPU knob):
     max_voxels: int = 4096
+    # Dense voxel-slot lookup grid dimension (TPU knob): cells per axis,
+    # spanning dense_grid_dim * resolution meters from the occupied
+    # bounding box's min corner. One gather replaces a binary search in
+    # the hot score/derivative path.
+    dense_grid_dim: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,7 +60,14 @@ def _parse_header(f) -> dict:
 
 
 def _lzf_decompress(data: bytes, expected: int) -> bytes:
-    """Decompress LZF (libLZF format, as used by PCL binary_compressed)."""
+    """Decompress LZF (libLZF format, as used by PCL binary_compressed).
+    Uses the native codec (io/native.py) when available; this Python loop
+    is the fallback."""
+    from rspc_tpu.io import native
+
+    out_native = native.lzf_decompress(data, expected)
+    if out_native is not None:
+        return out_native
     out = bytearray(expected)
     i, o, n = 0, 0, len(data)
     while i < n:
@@ -86,7 +93,12 @@ def _lzf_decompress(data: bytes, expected: int) -> bytes:
 
 
 def _lzf_compress(data: bytes) -> bytes:
-    """Minimal LZF compressor (correct but simple hash-chain variant)."""
+    """LZF compressor. Native fast path when available; Python fallback."""
+    from rspc_tpu.io import native
+
+    out_native = native.lzf_compress(data)
+    if out_native is not None:
+        return out_native
     n = len(data)
     out = bytearray()
     htab = {}

@@ -49,7 +49,15 @@ def _nn_kernel(src_ref, tgt_ref, pen_ref, score_ref, idx_ref):
         t = tgt_ref[:, pl.ds(base, TGT_CHUNK)]        # [3, TT]
         pen = pen_ref[0, pl.ds(base, TGT_CHUNK)]      # [TT]
         norm2 = jnp.sum(t * t, axis=0)                # [TT]
-        cross = jnp.dot(src, t, preferred_element_type=jnp.float32)  # MXU
+        # precision=HIGHEST: f32 MXU passes — bf16 truncation flips argmin
+        # winners at mm separations (same analysis as ops/nn.py).
+        cross = jax.lax.dot_general(
+            src,
+            t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # MXU [TS, TT]
         score = (norm2 + pen)[None, :] - 2.0 * cross  # [TS, TT]
         cs = jnp.min(score, axis=1)                   # [TS]
         ci = jnp.argmin(score, axis=1).astype(jnp.int32) + base
@@ -65,15 +73,17 @@ def _nn_kernel(src_ref, tgt_ref, pen_ref, score_ref, idx_ref):
     idx_ref[:] = best_i[:, None]
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("interpret",))
 def nearest_neighbors_pallas(
     src_xyz: jnp.ndarray,
     src_valid: jnp.ndarray,
     tgt_xyz: jnp.ndarray,
     tgt_valid: jnp.ndarray,
+    interpret: bool = False,
 ):
     """Drop-in replacement for ops.nn.nearest_neighbors (no chunk arg —
-    tiling is fixed by the kernel)."""
+    tiling is fixed by the kernel). ``interpret=True`` runs the kernel in
+    the Pallas interpreter for CPU testing."""
     n = src_xyz.shape[0]
     m = tgt_xyz.shape[0]
     dtype = src_xyz.dtype
@@ -112,6 +122,7 @@ def nearest_neighbors_pallas(
             jax.ShapeDtypeStruct((s_p.shape[0], 1), jnp.float32),
             jax.ShapeDtypeStruct((s_p.shape[0], 1), jnp.int32),
         ],
+        interpret=interpret,
     )(s_p, t_p.T, pen_p)
 
     best_idx = jnp.clip(idx[:n, 0], 0, m - 1)

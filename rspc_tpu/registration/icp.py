@@ -102,11 +102,20 @@ def icp_align(
     mse_rel = jnp.asarray(config.euclidean_fitness_epsilon, dtype)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+    if use_pallas:
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+
     def correspondences(final_t):
         src_t = apply_transform(final_t, src.xyz)
-        d2, idx = nearest_neighbors(
-            src_t, src.valid, tgt.xyz, tgt.valid, chunk=config.target_chunk
-        )
+        if use_pallas:
+            d2, idx = nearest_neighbors_pallas(
+                src_t, src.valid, tgt.xyz, tgt.valid
+            )
+        else:
+            d2, idx = nearest_neighbors(
+                src_t, src.valid, tgt.xyz, tgt.valid, chunk=config.target_chunk
+            )
         w = (
             (d2 <= max_d2) & src.valid & jnp.isfinite(d2)
         ).astype(dtype)

@@ -1,0 +1,72 @@
+"""Tracing / profiling utilities.
+
+The reference has no tracing at all — only ``[RS]``/``[PCL]`` stdout
+progress lines (SURVEY.md §5). The TPU-native equivalents here:
+
+  * ``stage_timer`` — wall-clock stage timing with device sync, the
+    structured replacement for those progress prints;
+  * ``trace`` — a ``jax.profiler`` trace context writing a TensorBoard-
+    loadable profile (XLA op breakdown, HBM traffic) for any pipeline
+    region.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+
+from rspc_tpu.utils.log import get_logger
+
+_log = get_logger("profiling")
+
+
+class stage_timer:
+    """Accumulates named stage wall times (blocking on device completion).
+
+    Usage::
+
+        timers = stage_timer()
+        with timers("edges"):
+            edge = extract_edge_features(cloud)
+        print(timers.summary())
+    """
+
+    def __init__(self):
+        self.times: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def __call__(self, name: str, sync: Optional[object] = None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            dt = time.perf_counter() - t0
+            self.times[name] = self.times.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> str:
+        rows = [
+            f"{name}: {total*1000:.1f} ms ({self.counts[name]}x)"
+            for name, total in sorted(
+                self.times.items(), key=lambda kv: -kv[1]
+            )
+        ]
+        return "\n".join(rows)
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/rspc_trace"):
+    """jax.profiler trace context; open the result in TensorBoard or
+    Perfetto to see per-kernel device timing."""
+    _log.info("profiler trace -> %s", logdir)
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()

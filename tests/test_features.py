@@ -1,0 +1,124 @@
+"""Keypoint / descriptor / matching / RANSAC / odometry tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rspc_tpu.capture.synthetic import SyntheticSequence
+from rspc_tpu.ops.deproject import Intrinsics
+from rspc_tpu.ops.keypoints import (
+    compute_descriptors,
+    detect_keypoints,
+    match_descriptors,
+)
+from rspc_tpu.ops.ransac import ransac_homography
+
+
+def _corner_image(h=96, w=128, seed=0):
+    """Blobs at known positions on a flat background."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 64.0, np.float32)
+    pts = []
+    for _ in range(12):
+        y, x = rng.integers(16, h - 16), rng.integers(16, w - 16)
+        img[y - 2 : y + 3, x - 2 : x + 3] = 220.0
+        pts.append((x, y))
+    return img, np.array(pts)
+
+
+def test_detect_keypoints_on_blobs():
+    img, pts = _corner_image()
+    xy, score, valid = detect_keypoints(jnp.asarray(img), max_keypoints=64)
+    xy, valid = np.asarray(xy), np.asarray(valid)
+    assert valid.sum() >= 8
+    # every strong detection is near a blob
+    found = xy[valid]
+    d = np.sqrt(((found[:, None, :] - pts[None, :, :]) ** 2).sum(-1)).min(1)
+    # most detections localize on a blob (DoG ring responses allowed ~6px)
+    assert (d <= 4.0).mean() > 0.7
+    assert d.max() <= 8.0
+
+
+def test_descriptor_match_translated_image():
+    img, _ = _corner_image(seed=1)
+    shift = 5
+    img2 = np.roll(img, shift, axis=1)
+    xy1, _, v1 = detect_keypoints(jnp.asarray(img), max_keypoints=64)
+    xy2, _, v2 = detect_keypoints(jnp.asarray(img2), max_keypoints=64)
+    d1 = compute_descriptors(jnp.asarray(img), xy1, v1)
+    d2 = compute_descriptors(jnp.asarray(img2), xy2, v2)
+    idx, good = match_descriptors(d1, v1, d2, v2, ratio=0.8)
+    good = np.asarray(good)
+    assert good.sum() >= 5
+    # matched pairs should differ by the known shift
+    a = np.asarray(xy1)[good]
+    b = np.asarray(jnp.take(xy2, idx, axis=0))[good]
+    dx = b[:, 0] - a[:, 0]
+    dy = b[:, 1] - a[:, 1]
+    assert np.median(np.abs(dx - shift)) <= 1.0
+    assert np.median(np.abs(dy)) <= 1.0
+
+
+def test_ransac_homography_recovers_affine():
+    rng = np.random.default_rng(2)
+    src = rng.uniform(0, 100, (64, 2)).astype(np.float32)
+    h_true = np.array([[1.02, 0.01, 3.0], [-0.01, 0.98, -2.0], [0, 0, 1.0]], np.float32)
+    ones = np.ones((64, 1), np.float32)
+    proj = np.concatenate([src, ones], axis=1) @ h_true.T
+    dst = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)
+    # corrupt 20% with gross outliers
+    dst[50:] += rng.uniform(20, 40, (14, 2)).astype(np.float32)
+    valid = np.ones(64, bool)
+    h, inl, n = ransac_homography(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(valid), threshold=2.0
+    )
+    h = np.asarray(h)
+    assert int(n) >= 45
+    np.testing.assert_allclose(h, h_true, atol=0.05)
+    assert not np.asarray(inl)[50:].any()
+
+
+def test_get_clouds_new_odometry():
+    from rspc_tpu.capture.odometry import get_clouds_new
+    from rspc_tpu.cli import _source
+
+    seq = SyntheticSequence(n_frames=2, yaw_step=-0.05, intr=Intrinsics.simple(160, 120))
+    # reuse the CLI's synthetic replay packaging
+    import numpy as np
+
+    depths, colors = [], []
+    for d, c in seq.frames():
+        depths.append(np.asarray(d))
+        colors.append(np.asarray(c))
+    stream, snap = seq.imu_stream()
+    from rspc_tpu.capture.replay import ReplaySource
+
+    src = ReplaySource(
+        {
+            "depth": np.stack(depths),
+            "color": np.stack(colors),
+            "ts": np.asarray(stream.ts)[snap],
+            "gyro": np.asarray(stream.data)[snap - 1],
+            "accel": np.asarray(stream.data)[snap],
+            "intr": np.asarray(
+                [seq.intr.width, seq.intr.height, seq.intr.fx, seq.intr.fy,
+                 seq.intr.ppx, seq.intr.ppy],
+                np.float32,
+            ),
+        }
+    )
+    from rspc_tpu.config import CaptureConfig
+
+    pairs = get_clouds_new(
+        src, 2, CaptureConfig(center_crop=False, bgr_color=False)
+    )
+    assert len(pairs) == 2
+    c0, t0 = pairs[0]
+    c1, t1 = pairs[1]
+    np.testing.assert_array_equal(t0, np.eye(4))
+    assert c1.height == 120 and c1.width == 160  # full res, no crop
+    # pose rotation should reflect the IMU yaw (Ry(+0.05) mapping)
+    want_r = np.asarray(
+        jnp.asarray(seq.gt_transform(1), jnp.float32)
+    )[:3, :3]
+    np.testing.assert_allclose(t1[:3, :3], want_r, atol=5e-3)
+    assert np.isfinite(t1).all()
