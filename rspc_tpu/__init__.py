@@ -27,6 +27,29 @@ Layer map (mirrors SURVEY.md §1 of the reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache — first-compile latency on TPU is
+    tens of seconds per program (remote compile), so every entry point
+    enables this. Opt out with RSPC_NO_CACHE=1."""
+    if _os.environ.get("RSPC_NO_CACHE"):
+        return
+    import jax
+
+    cache_dir = path or _os.environ.get(
+        "RSPC_CACHE_DIR", _os.path.expanduser("~/.cache/rspc_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
+
+
+enable_compilation_cache()
+
 from rspc_tpu.cloud import Cloud, OrganizedCloud  # noqa: F401
 from rspc_tpu.config import (  # noqa: F401
     EdgeConfig,

@@ -39,6 +39,10 @@ class ICPConfig:
     target_chunk: int = 2048   # target tile size for the XLA NN sweep
     use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back
                                # to the XLA sweep on other backends)
+    compute_fitness: bool = True  # getFitnessScore() pass after aligning;
+                                  # costs one extra NN sweep — pipeline
+                                  # stages whose fitness is never read
+                                  # (e.g. the coarse stage) disable it
 
 
 @dataclasses.dataclass(frozen=True)

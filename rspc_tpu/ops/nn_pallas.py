@@ -30,9 +30,15 @@ SRC_TILE = 512
 TGT_CHUNK = 1024
 
 
-def _nn_kernel(src_ref, tgt_ref, pen_ref, score_ref, idx_ref):
+def _nn_kernel(nchunks_ref, src_ref, tgt_ref, pen_ref, score_ref, idx_ref):
     """Grid dim 0 walks source tiles.
 
+    nchunks_ref: scalar-prefetch i32[1] — number of target chunks that
+                 contain live points; padded tail chunks are skipped
+                 (their penalty is +big, so skipping cannot change the
+                 argmin). Registration targets are prefix-dense
+                 fixed-capacity buffers, so early frames sweep a fraction
+                 of the capacity.
     src_ref:   [SRC_TILE, 3]  source tile (VMEM)
     tgt_ref:   [3, M]         full target, transposed for lane-major access
     pen_ref:   [1, M]         0 for valid target, +big for invalid/padded
@@ -40,8 +46,7 @@ def _nn_kernel(src_ref, tgt_ref, pen_ref, score_ref, idx_ref):
     idx_ref:   [SRC_TILE, 1]  best index out
     """
     src = src_ref[:]  # [TS, 3]
-    m = tgt_ref.shape[1]
-    num_chunks = m // TGT_CHUNK
+    num_chunks = nchunks_ref[0]
 
     def body(c, carry):
         best_s, best_i = carry
@@ -103,27 +108,42 @@ def nearest_neighbors_pallas(
     pen = jnp.where(tgt_valid, 0.0, 1e30).astype(dtype)
     pen_p = jnp.pad(pen, (0, m_pad), constant_values=1e30)[None, :]
 
+    # Dynamic sweep bound: highest live target index + 1, in chunks
+    # (targets need not be prefix-dense; this is exact either way).
+    m_total = t_p.shape[0]
+    live_hi = jnp.max(
+        jnp.where(tgt_valid, jnp.arange(1, m + 1, dtype=jnp.int32), 0)
+    )
+    n_chunks = jnp.minimum(
+        (live_hi + TGT_CHUNK - 1) // TGT_CHUNK, m_total // TGT_CHUNK
+    )
+    n_chunks = jnp.maximum(n_chunks, 1).reshape(1)
+
     grid = (s_p.shape[0] // SRC_TILE,)
-    score, idx = pl.pallas_call(
-        _nn_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (SRC_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (SRC_TILE, 3), lambda i, n: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((SRC_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SRC_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SRC_TILE, 1), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SRC_TILE, 1), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
         ],
+    )
+    score, idx = pl.pallas_call(
+        _nn_kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s_p.shape[0], 1), jnp.float32),
             jax.ShapeDtypeStruct((s_p.shape[0], 1), jnp.int32),
         ],
         interpret=interpret,
-    )(s_p, t_p.T, pen_p)
+    )(n_chunks, s_p, t_p.T, pen_p)
 
     best_idx = jnp.clip(idx[:n, 0], 0, m - 1)
     best_score = score[:n, 0]

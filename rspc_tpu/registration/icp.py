@@ -173,17 +173,24 @@ def icp_align(
 
     converged = (state != NOT_CONVERGED) & (state != NO_CORRESPONDENCES)
 
-    # getFitnessScore(): mean squared NN distance at the final pose over all
-    # valid source points (max_range defaults to +inf in PCL), plus the
-    # inlier-only RMSE the bench reports.
-    src_t, d2, _, w = correspondences(final_t)
-    nv = jnp.maximum(jnp.sum(src.valid.astype(dtype)), 1.0)
-    finite_d2 = jnp.where(src.valid, jnp.where(jnp.isfinite(d2), d2, 0.0), 0.0)
-    fitness = jnp.sum(finite_d2) / nv
-    n_inl = jnp.sum(w)
-    inlier_rmse = jnp.sqrt(
-        jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(n_inl, 1.0)
-    )
+    if config.compute_fitness:
+        # getFitnessScore(): mean squared NN distance at the final pose over
+        # all valid source points (max_range defaults to +inf in PCL), plus
+        # the inlier-only RMSE the bench reports. Costs one extra sweep.
+        src_t, d2, _, w = correspondences(final_t)
+        nv = jnp.maximum(jnp.sum(src.valid.astype(dtype)), 1.0)
+        finite_d2 = jnp.where(
+            src.valid, jnp.where(jnp.isfinite(d2), d2, 0.0), 0.0
+        )
+        fitness = jnp.sum(finite_d2) / nv
+        n_inl = jnp.sum(w)
+        inlier_rmse = jnp.sqrt(
+            jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(n_inl, 1.0)
+        )
+    else:
+        fitness = jnp.asarray(jnp.nan, dtype)
+        inlier_rmse = jnp.asarray(jnp.nan, dtype)
+        n_inl = jnp.asarray(0.0, dtype)
 
     return ICPResult(
         transform=final_t,

@@ -231,7 +231,13 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
 
     d = config.dense_grid_dim
 
-    def objective(p):
+    def lookup(p):
+        """Neighborhood query at pose p: per (point, 27-offset) the voxel
+        Gaussian params and a hit mask. TPU gathers are the expensive part
+        of the NDT evaluation, so the Newton loop calls this ONCE per
+        iteration and differentiates the gather-free objective below with
+        the neighborhood frozen — the same granularity at which PCL fixes
+        its radiusSearch results per computeDerivatives call."""
         t = _pose_to_matrix(p)
         pts = xyz @ t[:3, :3].T + t[:3, 3]
         coords = jnp.floor(pts / res).astype(jnp.int32)  # [N,3]
@@ -250,16 +256,27 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         )
         x = pts[:, None, :] - mu  # [N,27,3]
         within = jnp.sum(x * x, axis=-1) <= res * res  # radiusSearch(res)
+        mask = (hit & within).astype(xyz.dtype) * w_src[:, None]
+        return mu, ic, mask
+
+    def fixed_objective(p, mu, ic, mask):
+        """-score(p) with a frozen neighborhood: pure streaming math, no
+        gathers — cheap to evaluate and to autodiff."""
+        t = _pose_to_matrix(p)
+        pts = xyz @ t[:3, :3].T + t[:3, 3]
+        x = pts[:, None, :] - mu  # [N,27,3]
         q = jnp.einsum(
             "nki,nkij,nkj->nk", x, ic, x,
             precision=jax.lax.Precision.HIGHEST,
         )
-        contrib = -d1 * jnp.exp(-0.5 * d2 * q)
-        contrib = jnp.where(hit & within, contrib, 0.0) * w_src[:, None]
-        score = jnp.sum(contrib)
-        return -score  # minimize
+        contrib = -d1 * jnp.exp(-0.5 * d2 * q) * mask
+        return -jnp.sum(contrib)
 
-    return objective
+    def objective(p):
+        mu, ic, mask = lookup(p)
+        return fixed_objective(p, mu, ic, mask)
+
+    return objective, lookup, fixed_objective
 
 
 def _more_thuente(objective, p, direction, step_init, step_max, config: NDTConfig):
@@ -294,7 +311,11 @@ def _more_thuente(objective, p, direction, step_init, step_max, config: NDTConfi
         f_t, g_t = trial(a_t)
         suff = f_t <= phi0 + mu * a_t * dphi0
         curv = jnp.abs(g_t) <= nu * jnp.abs(dphi0)
-        done = suff & curv
+        # After a few trials, accept on sufficient decrease alone: each
+        # extra trial costs a full objective+gradient evaluation, and near
+        # the optimum the strong-Wolfe curvature bound can keep bisecting
+        # without materially changing the Newton step.
+        done = suff & (curv | (it >= 3))
         # interval update (More-Thuente cases collapsed to safeguarded
         # bisection/extrapolation):
         too_high = ~suff
@@ -336,9 +357,7 @@ def ndt_align(
     guess = (
         jnp.eye(4, dtype=dtype) if init_guess is None else init_guess.astype(dtype)
     )
-    objective = _make_objective(src, grid, config)
-    hess_fn = jax.hessian(objective)
-    grad_fn = jax.grad(objective)
+    objective, lookup, fixed_objective = _make_objective(src, grid, config)
 
     p0 = _matrix_to_pose(guess)
 
@@ -348,8 +367,12 @@ def ndt_align(
 
     def body(st):
         p, it, _ = st
-        g = grad_fn(p)
-        h = hess_fn(p)
+        # One gather pass per Newton iteration; derivatives and the line
+        # search run against the frozen neighborhood (see _make_objective).
+        mu, ic, mask = lookup(p)
+        obj = lambda q: fixed_objective(q, mu, ic, mask)
+        g = jax.grad(obj)(p)
+        h = jax.hessian(obj)(p)
         # Safeguarded Newton: solve (H + lambda I) d = -g with small ridge
         # (PCL relies on JacobiSVD least squares; the ridge handles the
         # same rank-deficient cases).
@@ -360,7 +383,7 @@ def ndt_align(
         norm = jnp.linalg.norm(delta)
         direction = delta / jnp.maximum(norm, 1e-30)
         step, direction = _more_thuente(
-            objective, p, direction, norm, config.step_size, config
+            obj, p, direction, norm, config.step_size, config
         )
         new_p = p + step * direction
         new_it = it + 1

@@ -113,9 +113,14 @@ class TwoPhaseRegistrationScheme(RegistrationScheme):
 @partial(jax.jit, static_argnames=("icp_cfg", "leaf", "voxel_cap"))
 def _icp_pair_step(target: Cloud, edge: Cloud, guess, icp_cfg, leaf, voxel_cap):
     """One frame of the edge-ICP chain: downsample source edges, coarse ICP
-    with guess, fine ICP without, compose."""
+    with guess, fine ICP without, compose. The coarse stage's fitness is
+    never consumed (only the fine stage's convergence gates merging),
+    so its extra sweep is skipped."""
+    import dataclasses as _dc
+
     src_down = voxel_downsample(edge, leaf, voxel_cap)
-    coarse = icp_align(src_down, target, icp_cfg, guess)
+    coarse_cfg = _dc.replace(icp_cfg, compute_fitness=False)
+    coarse = icp_align(src_down, target, coarse_cfg, guess)
     aligned = apply_transform_cloud(coarse.transform, src_down)
     fine = icp_align(aligned, target, icp_cfg)
     fine_aligned = apply_transform_cloud(fine.transform, aligned)
