@@ -31,11 +31,10 @@ import os as _os
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Persistent XLA compilation cache — first-compile latency on TPU is
-    tens of seconds per program (remote compile), so every entry point
-    enables this. Opt out with RSPC_NO_CACHE=1."""
-    if _os.environ.get("RSPC_NO_CACHE"):
-        return
+    """Persistent XLA compilation cache. Opt-in via RSPC_CACHE=1 (or call
+    directly): on standard TPU/CPU backends this removes tens of seconds
+    of first-compile latency per program; remote-compile tunnels may not
+    support executable serialization, in which case it is a no-op."""
     import jax
 
     cache_dir = path or _os.environ.get(
@@ -48,7 +47,8 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # older jax without these flags
 
 
-enable_compilation_cache()
+if _os.environ.get("RSPC_CACHE"):
+    enable_compilation_cache()
 
 from rspc_tpu.cloud import Cloud, OrganizedCloud  # noqa: F401
 from rspc_tpu.config import (  # noqa: F401

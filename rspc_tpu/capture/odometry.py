@@ -46,6 +46,26 @@ def _gray(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(rgb, axis=-1)
 
 
+def _dump_matches(debug_dir, pair_idx, prev, cur, xy_ref, xy_cmp, good):
+    """Side-by-side match visualization PNG (reference: drawMatches ->
+    matches.jpg, capture_opencv.hpp:74-79)."""
+    import os
+
+    from rspc_tpu.viz.png import write_png
+
+    a = np.asarray(prev.rgb).astype(np.uint8)
+    b = np.asarray(cur.rgb).astype(np.uint8)
+    canvas = np.concatenate([a, b], axis=1)
+    w = a.shape[1]
+    for (x0, y0), (x1, y1) in zip(xy_ref[good], xy_cmp[good]):
+        for (x, y) in ((int(x0), int(y0)), (int(x1) + w, int(y1))):
+            ys = slice(max(y - 1, 0), min(y + 2, canvas.shape[0]))
+            xs = slice(max(x - 1, 0), min(x + 2, canvas.shape[1]))
+            canvas[ys, xs] = [255, 0, 0]
+    os.makedirs(debug_dir, exist_ok=True)
+    write_png(os.path.join(debug_dir, f"matches-{pair_idx}.png"), canvas)
+
+
 def _pose_from_theta_translation(theta, translation) -> np.ndarray:
     """T * Rz(theta.x) * Ry(-theta.y) * Rx(theta.z) — the same axis mapping
     as the ICP scheme guess (capture_opencv.hpp:346-349)."""
@@ -63,8 +83,15 @@ def get_clouds_new(
     config: CaptureConfig = CaptureConfig(center_crop=False),
     translation_config: TranslationEstimatorConfig = TranslationEstimatorConfig(),
     max_keypoints: int = 512,
+    debug_dir: str | None = None,
 ) -> List[Tuple[OrganizedCloud, np.ndarray]]:
-    """Returns [(cloud, pose 4x4)] per frame — the v2 capture contract."""
+    """Returns [(cloud, pose 4x4)] per frame — the v2 capture contract.
+
+    ``debug_dir``: when set, writes per-pair match visualizations
+    (``matches-{i}.png``: the two frames side by side with matched
+    keypoints marked), the PNG equivalent of the reference's
+    drawMatches -> matches.jpg / per-frame imshow windows
+    (capture_opencv.hpp:40-45,74-79)."""
     cfg = CaptureConfig(
         throttle_ns=config.throttle_ns,
         center_crop=False,  # v2 is always full resolution
@@ -95,6 +122,9 @@ def get_clouds_new(
         xy_ref = np.asarray(xy0)
         xy_cmp = np.asarray(jnp.take(xy1, idx_b, axis=0))
         good_np = np.asarray(good)
+
+        if debug_dir is not None:
+            _dump_matches(debug_dir, i, prev, cur, xy_ref, xy_cmp, good_np)
 
         # homography for parity (unused downstream, like the reference)
         ransac_homography(

@@ -181,6 +181,19 @@ recording format."""
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    """Top-level error handling mirrors the reference's two catch blocks
+    (rs2::error / std::exception printing to stderr and returning
+    EXIT_FAILURE, main.cpp:238-244)."""
+    try:
+        return _dispatch(argv)
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:  # noqa: BLE001 — the reference catches all
+        print(f"{type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(argv: Optional[List[str]] = None) -> int:
     args = list(sys.argv if argv is None else argv)
     argc = len(args)
 

@@ -101,12 +101,18 @@ class TwoPhaseRegistrationScheme(RegistrationScheme):
     ) -> Cloud:
         raise NotImplementedError
 
+    def batch_extract_features(self, clouds: Sequence):
+        """Optional phase-1 fast path: subclasses may return a list of
+        feature clouds for all inputs at once (None = per-cloud loop)."""
+        return None
+
     def registration(self, clouds: Sequence) -> Cloud:
-        feature_clouds = []
-        for cloud in clouds:
-            feature_clouds.append(
-                (self.extract_features(cloud), _as_unorganized(cloud))
-            )
+        features = self.batch_extract_features(clouds)
+        if features is None:
+            features = [self.extract_features(c) for c in clouds]
+        feature_clouds = [
+            (f, _as_unorganized(c)) for f, c in zip(features, clouds)
+        ]
         return self.global_registration(feature_clouds)
 
 
@@ -170,6 +176,29 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                 "(PCL OrganizedEdgeFromRGBNormals requires an organized input)"
             )
         return extract_edge_features(cloud, self.config.edge)
+
+    def batch_extract_features(self, clouds):
+        """Phase 1 vmapped over frames when all clouds share one shape —
+        one device launch for the whole sequence instead of N (the frames
+        are independent; this is the per-frame data parallelism SURVEY.md
+        §2c identifies)."""
+        if not all(isinstance(c, OrganizedCloud) for c in clouds):
+            return None
+        shapes = {(c.height, c.width) for c in clouds}
+        if len(shapes) != 1 or len(clouds) < 2:
+            return None
+        stacked = OrganizedCloud(
+            xyz=jnp.stack([c.xyz for c in clouds]),
+            rgb=jnp.stack([c.rgb for c in clouds]),
+            valid=jnp.stack([c.valid for c in clouds]),
+        )
+        batched = jax.vmap(
+            lambda oc: extract_edge_features(oc, self.config.edge)
+        )(stacked)
+        return [
+            Cloud(batched.xyz[i], batched.rgb[i], batched.valid[i])
+            for i in range(len(clouds))
+        ]
 
     def _guess(self, idx: int, rel_thetas, acc_rads: float):
         if self.use_imu:
