@@ -48,6 +48,10 @@ class Cloud:
     xyz: jax.Array   # f32[N, 3]
     rgb: jax.Array   # f32[N, 3], 0..255
     valid: jax.Array  # bool[N]
+    # Optional per-point unit normals (PCL analog: PointXYZRGBNormal,
+    # consumed by the point-to-plane ICP variant). None = not carried;
+    # presence is static, so jitted consumers specialize on it.
+    normal: Optional[jax.Array] = None  # f32[N, 3] or None
 
     @property
     def capacity(self) -> int:
@@ -58,11 +62,14 @@ class Cloud:
         return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
 
     @staticmethod
-    def empty(capacity: int, dtype=jnp.float32) -> "Cloud":
+    def empty(
+        capacity: int, dtype=jnp.float32, with_normal: bool = False
+    ) -> "Cloud":
         return Cloud(
             xyz=jnp.zeros((capacity, 3), dtype),
             rgb=jnp.zeros((capacity, 3), dtype),
             valid=jnp.zeros((capacity,), jnp.bool_),
+            normal=jnp.zeros((capacity, 3), dtype) if with_normal else None,
         )
 
     @staticmethod
@@ -111,6 +118,11 @@ class Cloud:
             xyz=jnp.pad(self.xyz, ((0, pad), (0, 0))),
             rgb=jnp.pad(self.rgb, ((0, pad), (0, 0))),
             valid=jnp.pad(self.valid, (0, pad)),
+            normal=(
+                None
+                if self.normal is None
+                else jnp.pad(self.normal, ((0, pad), (0, 0)))
+            ),
         )
 
 
@@ -126,6 +138,7 @@ class OrganizedCloud:
     xyz: jax.Array    # f32[H, W, 3]
     rgb: jax.Array    # f32[H, W, 3], 0..255
     valid: jax.Array  # bool[H, W]
+    normal: Optional[jax.Array] = None  # f32[H, W, 3] or None
 
     @property
     def height(self) -> int:
@@ -145,6 +158,9 @@ class OrganizedCloud:
             xyz=self.xyz.reshape(hw, 3),
             rgb=self.rgb.reshape(hw, 3),
             valid=self.valid.reshape(hw),
+            normal=(
+                None if self.normal is None else self.normal.reshape(hw, 3)
+            ),
         )
 
     @staticmethod
@@ -187,6 +203,9 @@ class OrganizedCloud:
             xyz=self.xyz[r0:r1, c0:c1],
             rgb=self.rgb[r0:r1, c0:c1],
             valid=self.valid[r0:r1, c0:c1],
+            normal=(
+                None if self.normal is None else self.normal[r0:r1, c0:c1]
+            ),
         )
 
 
@@ -197,7 +216,12 @@ def concatenate(a: Cloud, b: Cloud) -> Cloud:
     xyz = jnp.concatenate([a.xyz, b.xyz], axis=0)
     rgb = jnp.concatenate([a.rgb, b.rgb], axis=0)
     valid = jnp.concatenate([a.valid, b.valid], axis=0)
-    return compact(Cloud(xyz, rgb, valid))
+    normal = (
+        jnp.concatenate([a.normal, b.normal], axis=0)
+        if a.normal is not None and b.normal is not None
+        else None
+    )
+    return compact(Cloud(xyz, rgb, valid, normal))
 
 
 def compact(c: Cloud, capacity: Optional[int] = None) -> Cloud:
@@ -213,8 +237,11 @@ def compact(c: Cloud, capacity: Optional[int] = None) -> Cloud:
     order = jnp.argsort(~c.valid, stable=True)  # valid first, stable
     if cap <= n:
         order = order[:cap]
-        take = lambda x: jnp.take(x, order, axis=0)
-        return Cloud(take(c.xyz), take(c.rgb), take(c.valid))
     take = lambda x: jnp.take(x, order, axis=0)
-    out = Cloud(take(c.xyz), take(c.rgb), take(c.valid))
+    out = Cloud(
+        take(c.xyz),
+        take(c.rgb),
+        take(c.valid),
+        None if c.normal is None else take(c.normal),
+    )
     return out.pad_to(cap)

@@ -35,6 +35,12 @@ class ICPConfig:
     # PCL internals required for parity (pcl::DefaultConvergenceCriteria):
     mse_threshold_absolute: float = 1e-12   # PCL default absolute MSE threshold
     min_number_correspondences: int = 3     # PCL Registration default
+    # Correspondence-to-transform estimator: "point_to_point" is PCL's
+    # TransformationEstimationSVD (the reference's setting);
+    # "point_to_plane" is the beyond-reference fine-alignment variant
+    # (PCL analog TransformationEstimationPointToPlaneLLS) — requires
+    # target clouds that carry normals (edge clouds do).
+    variant: str = "point_to_point"
     # TPU execution knobs (no reference analog):
     target_chunk: int = 2048   # target tile size for the XLA NN sweep
     use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back

@@ -141,6 +141,16 @@ def extract_organized_edges(
 ) -> jnp.ndarray:
     """Full 5-class edge labeling. Returns ``labels i32[H,W]`` with the
     LABEL_* codes (PCL: compute(labels, label_indices))."""
+    labels, _ = _organized_edges_with_normals(cloud, config)
+    return labels
+
+
+def _organized_edges_with_normals(
+    cloud: OrganizedCloud, config: EdgeConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Labels plus the normal image the high-curvature stage already
+    computes (reused by extract_edge_features so edge clouds carry normals
+    at zero extra cost)."""
     nan_b, occluding, occluded = _depth_edges(cloud, config)
 
     normals, n_valid = estimate_normals(cloud, config)
@@ -165,7 +175,7 @@ def extract_organized_edges(
     # later PCL stages overwrite earlier ones
     labels = jnp.where(hc & cloud.valid, LABEL_HIGH_CURVATURE, labels)
     labels = jnp.where(rgb_edge & cloud.valid, LABEL_RGB_CANNY, labels)
-    return labels
+    return labels, normals
 
 
 @partial(jax.jit, static_argnames=("config", "label", "capacity"))
@@ -189,8 +199,17 @@ def extract_edge_features(
 ) -> Cloud:
     """The reference's ``extract_edge_features``: run the full 5-class
     detector but return only the RGB_CANNY class as a compacted cloud
-    (src/edge_extractor.hpp:7-39)."""
-    labels = extract_organized_edges(cloud, config)
-    return edge_cloud(
-        cloud, labels, LABEL_RGB_CANNY, config.max_edge_points, config
+    (src/edge_extractor.hpp:7-39).
+
+    The returned cloud additionally carries the per-point surface normals
+    the detector already computed for its high-curvature stage — free
+    metadata that enables the point-to-plane fine-ICP variant downstream
+    (the reference discards the normal image after compute())."""
+    labels, normals = _organized_edges_with_normals(cloud, config)
+    flat = cloud.flatten()
+    sel = (labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid
+    hw = flat.capacity
+    return compact(
+        Cloud(flat.xyz, flat.rgb, sel, normals.reshape(hw, 3)),
+        capacity=config.max_edge_points,
     )

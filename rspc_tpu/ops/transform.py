@@ -57,8 +57,17 @@ def apply_transform(transform: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_transform_cloud(transform: jnp.ndarray, cloud: Cloud) -> Cloud:
+    rot = transform[..., :3, :3]
     return Cloud(
-        xyz=apply_transform(transform, cloud.xyz), rgb=cloud.rgb, valid=cloud.valid
+        xyz=apply_transform(transform, cloud.xyz),
+        rgb=cloud.rgb,
+        valid=cloud.valid,
+        # normals rotate without translating (rigid => inv-transpose == R)
+        normal=(
+            None
+            if cloud.normal is None
+            else cloud.normal @ jnp.swapaxes(rot, -1, -2)
+        ),
     )
 
 

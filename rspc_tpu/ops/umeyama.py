@@ -127,3 +127,68 @@ def rigid_fit(
     det(R)=+1, t = centroid_dst - R centroid_src.
     """
     return rigid_fit_from_moments(*fit_moments(src, dst, weights))
+
+
+def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
+    """exp([omega]_x): exact rotation from an axis-angle vector."""
+    theta = jnp.linalg.norm(omega)
+    # sinc-style series keeps theta -> 0 exact in f32
+    small = theta < 1e-6
+    safe = jnp.where(small, 1.0, theta)
+    a = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(safe) / safe)
+    b = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
+    wx, wy, wz = omega[0], omega[1], omega[2]
+    k = jnp.array(
+        [[0.0, -wz, wy], [wz, 0.0, -wx], [-wy, wx, 0.0]], omega.dtype
+    )
+    eye = jnp.eye(3, dtype=omega.dtype)
+    return eye + a * k + b * (k @ k)
+
+
+def plane_fit_moments(
+    src: jnp.ndarray, dst: jnp.ndarray, normal: jnp.ndarray, weights: jnp.ndarray
+):
+    """Additive moments of the linearized point-to-plane problem:
+    rows ``a_i = [src_i x n_i ; n_i]``, residuals ``r_i = n_i . (src_i -
+    dst_i)``; returns ``(H f32[6,6], g f32[6])`` with H = sum w a a^T,
+    g = sum w a r. Additive across shards like fit_moments."""
+    w = weights.astype(src.dtype)
+    a = jnp.concatenate([jnp.cross(src, normal), normal], axis=-1)  # [N,6]
+    r = jnp.sum((src - dst) * normal, axis=-1)  # [N]
+    aw = a * w[:, None]
+    h = jnp.matmul(aw.T, a, precision=jax.lax.Precision.HIGHEST)
+    g = aw.T @ r
+    return h, g
+
+
+def plane_fit_from_moments(h: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve the 6x6 point-to-plane normal equations; returns f32[4,4].
+    A trace-scaled ridge keeps rank-deficient sets (all normals parallel)
+    finite; such solves move only along observable directions."""
+    ridge = 1e-6 * jnp.trace(h) / 6.0 + 1e-12
+    x = jnp.linalg.solve(h + ridge * jnp.eye(6, dtype=h.dtype), -g)
+    x = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+    r = _rodrigues(x[:3])
+    t = x[3:]
+    top = jnp.concatenate([r, t[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], h.dtype)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def plane_fit(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    normal: jnp.ndarray,
+    weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Least-squares rigid transform minimizing point-to-PLANE error
+    ``sum w (n . (T src - dst))^2`` (PCL analog:
+    TransformationEstimationPointToPlaneLLS). One linearized Gauss-Newton
+    step per call — exact in the ICP outer loop's iteration limit.
+
+    Point-to-plane is the framework's beyond-reference fine-alignment
+    option: pixel-grid edge sampling biases point-to-point ICP by up to
+    ~z/fx per point *along the surface*, which the plane projection
+    removes, and convergence is superlinear instead of ICP's linear
+    sliding."""
+    return plane_fit_from_moments(*plane_fit_moments(src, dst, normal, weights))

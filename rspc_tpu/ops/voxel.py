@@ -56,6 +56,11 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
     xyz_s = jnp.take(xyz, perm, axis=0)
     rgb_s = jnp.take(rgb, perm, axis=0)
     valid_s = jnp.take(valid, perm, axis=0)
+    nrm_s = (
+        None
+        if cloud.normal is None
+        else jnp.take(cloud.normal, perm, axis=0)
+    )
 
     new_seg = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), skey[1:] != skey[:-1]]
@@ -74,4 +79,17 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
     out_xyz = sum_xyz / denom
     out_rgb = sum_rgb / denom
     out_valid = counts > 0
-    return Cloud(xyz=out_xyz, rgb=out_rgb, valid=out_valid)
+    out_nrm = None
+    if nrm_s is not None:
+        # mean normal per voxel, renormalized (degenerate sums fall back
+        # to +z so downstream math stays finite; such voxels are rare --
+        # they need opposing normals in one 1 cm leaf)
+        sum_n = jax.ops.segment_sum(
+            nrm_s * w[:, None], seg_safe, num_segments=max_points
+        )
+        nlen = jnp.linalg.norm(sum_n, axis=-1, keepdims=True)
+        out_nrm = jnp.where(
+            nlen > 1e-12, sum_n / jnp.maximum(nlen, 1e-12),
+            jnp.array([0.0, 0.0, 1.0], xyz.dtype),
+        )
+    return Cloud(xyz=out_xyz, rgb=out_rgb, valid=out_valid, normal=out_nrm)

@@ -43,7 +43,7 @@ from rspc_tpu.cloud import Cloud
 from rspc_tpu.config import ICPConfig
 from rspc_tpu.ops.nn import nearest_neighbors
 from rspc_tpu.ops.transform import apply_transform
-from rspc_tpu.ops.umeyama import rigid_fit
+from rspc_tpu.ops.umeyama import plane_fit, rigid_fit
 
 # Convergence states, numerically matching pcl::registration::
 # DefaultConvergenceCriteria::ConvergenceState.
@@ -93,6 +93,13 @@ def icp_align(
     eye = jnp.eye(4, dtype=dtype)
     guess = eye if init_guess is None else init_guess.astype(dtype)
 
+    p2l = config.variant == "point_to_plane"
+    if p2l and tgt.normal is None:
+        raise ValueError(
+            "point_to_plane ICP needs a target cloud with normals "
+            "(edge clouds carry them; see extract_edge_features)"
+        )
+
     max_d2 = jnp.asarray(
         config.max_correspondence_distance**2, dtype
     )
@@ -100,7 +107,14 @@ def icp_align(
     rot_thresh = jnp.asarray(1.0 - config.transformation_epsilon, dtype)
     mse_abs = jnp.asarray(config.mse_threshold_absolute, dtype)
     mse_rel = jnp.asarray(config.euclidean_fitness_epsilon, dtype)
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # prev_mse seed: PCL uses numeric_limits<double>::max(). Using the f32
+    # max here breaks the REL_MSE criterion on TPU: XLA lowers x/prev to
+    # x * (1/prev), and 1/3.4e38 is subnormal, which the TPU flushes to
+    # zero — making the relative-MSE test read 0 < eps and fire on the
+    # first iteration for ANY epsilon. 1e18 keeps the reciprocal normal
+    # while still dwarfing any real MSE, preserving PCL's first-iteration
+    # semantics (rel ~= 1.0).
+    big = jnp.asarray(1e18, dtype)
 
     use_pallas = config.use_pallas and jax.default_backend() == "tpu"
     if use_pallas:
@@ -134,7 +148,11 @@ def icp_align(
         too_few = n_corr < config.min_number_correspondences
 
         tgt_m = jnp.take(tgt.xyz, idx, axis=0)
-        t_inc = rigid_fit(src_t, tgt_m, w)
+        if p2l:
+            tgt_n = jnp.take(tgt.normal, idx, axis=0)
+            t_inc = plane_fit(src_t, tgt_m, tgt_n, w)
+        else:
+            t_inc = rigid_fit(src_t, tgt_m, w)
         new_final = t_inc @ final_t
         new_it = it + 1
 

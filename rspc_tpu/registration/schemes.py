@@ -71,10 +71,18 @@ def merge_append(dst: Cloud, src: Cloud) -> Cloud:
     start = dst.count()
     pos = start + jnp.arange(src.capacity, dtype=jnp.int32)
     pos = jnp.where(svalid, pos, dst.capacity)  # OOB -> dropped
+    keep_normal = dst.normal is not None and src.normal is not None
     return Cloud(
         xyz=dst.xyz.at[pos].set(sxyz, mode="drop"),
         rgb=dst.rgb.at[pos].set(srgb, mode="drop"),
         valid=dst.valid.at[pos].set(svalid, mode="drop"),
+        normal=(
+            dst.normal.at[pos].set(
+                jnp.take(src.normal, order, axis=0), mode="drop"
+            )
+            if keep_normal
+            else None
+        ),
     )
 
 
@@ -196,7 +204,12 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             lambda oc: extract_edge_features(oc, self.config.edge)
         )(stacked)
         return [
-            Cloud(batched.xyz[i], batched.rgb[i], batched.valid[i])
+            Cloud(
+                batched.xyz[i],
+                batched.rgb[i],
+                batched.valid[i],
+                None if batched.normal is None else batched.normal[i],
+            )
             for i in range(len(clouds))
         ]
 
@@ -229,7 +242,10 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         # (downsampled IN PLACE in the reference — edge-0.pcd dumps the
         # downsampled cloud; reproduced below)
         target0 = voxel_downsample(edges[0], cfg.voxel.leaf_size, voxel_cap)
-        target = merge_append(Cloud.empty(target_cap), target0)
+        target = merge_append(
+            Cloud.empty(target_cap, with_normal=target0.normal is not None),
+            target0,
+        )
         global_cloud = merge_append(Cloud.empty(global_cap), originals[0])
         edges = [target0] + list(edges[1:])
 

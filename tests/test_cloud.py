@@ -66,3 +66,64 @@ def test_organized_flatten():
     np.testing.assert_array_equal(
         np.asarray(flat.xyz), np.asarray(oc.xyz).reshape(24, 3)
     )
+
+
+def test_cloud_normal_plumbing():
+    """Normals ride through compact/concatenate/pad_to/transforms."""
+    import jax.numpy as jnp
+
+    from rspc_tpu.cloud import Cloud, concatenate, compact
+    from rspc_tpu.ops.transform import (
+        apply_transform_cloud,
+        make_rigid,
+        rotation_matrix,
+    )
+
+    xyz = np.arange(12, dtype=np.float32).reshape(4, 3)
+    nrm = np.tile(np.float32([0, 0, 1]), (4, 1))
+    c = Cloud(
+        jnp.asarray(xyz),
+        jnp.zeros((4, 3)),
+        jnp.asarray([True, False, True, True]),
+        normal=jnp.asarray(nrm),
+    )
+    cc = compact(c)
+    assert cc.normal is not None and cc.normal.shape == (4, 3)
+
+    both = concatenate(c, c)
+    assert both.normal is not None and both.normal.shape == (8, 3)
+
+    t = make_rigid(
+        rotation_matrix(jnp.float32(np.pi / 2), 0),
+        jnp.asarray([1.0, 2.0, 3.0], jnp.float32),
+    )
+    ct = apply_transform_cloud(t, c)
+    # +z normal rotated by Rx(90deg) -> +(-1)y? Rx(90): z -> -?; check
+    # numerically against the rotation matrix itself
+    expect = nrm @ np.asarray(t)[:3, :3].T
+    np.testing.assert_allclose(np.asarray(ct.normal), expect, atol=1e-6)
+
+    # mixed (one side without normals) drops them rather than inventing
+    plain = Cloud(c.xyz, c.rgb, c.valid)
+    assert concatenate(c, plain).normal is None
+
+
+def test_voxel_downsample_averages_normals():
+    import jax.numpy as jnp
+
+    from rspc_tpu.cloud import Cloud
+    from rspc_tpu.ops.voxel import voxel_downsample
+
+    xyz = np.float32([[0.001, 0, 0], [0.002, 0, 0], [1.0, 0, 0]])
+    nrm = np.float32([[1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    c = Cloud(
+        jnp.asarray(xyz),
+        jnp.zeros((3, 3)),
+        jnp.ones(3, bool),
+        normal=jnp.asarray(nrm),
+    )
+    out = voxel_downsample(c, 0.01, 4)
+    assert out.normal is not None
+    got = np.asarray(out.normal)[np.asarray(out.valid)]
+    lens = np.linalg.norm(got, axis=1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-5)

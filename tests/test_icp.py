@@ -135,3 +135,89 @@ def test_icp_result_is_pytree():
         )
     )
     assert len(leaves) == 7
+
+
+def _box_with_normals(n=1200, seed=3):
+    """Box-surface points with exact face normals."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    axis = rng.integers(0, 3, n)
+    side = rng.integers(0, 2, n)
+    pts[np.arange(n), axis] = side - 0.5
+    nrm = np.zeros((n, 3), np.float32)
+    nrm[np.arange(n), axis] = np.where(side == 1, 1.0, -1.0)
+    pts[:, 2] += 2.0
+    return pts, nrm
+
+
+def test_icp_point_to_plane_recovers_transform():
+    """The point-to-plane variant recovers a small rigid motion to tighter
+    tolerance (and in fewer iterations) than point-to-point on surface
+    samples with independent in-plane jitter — the regime it exists for."""
+    pts, nrm = _box_with_normals()
+    rng = np.random.default_rng(7)
+    # target: the surface, re-sampled (in-plane jitter only)
+    jitter = rng.normal(0, 0.01, pts.shape).astype(np.float32)
+    jitter -= nrm * np.sum(jitter * nrm, axis=1, keepdims=True)
+    tgt_pts = pts + jitter
+    src_pts, _ = _transform(pts, 0.03, [0.01, -0.02, 0.015])
+
+    src = Cloud.from_numpy(src_pts)
+    tgt = Cloud.from_numpy(tgt_pts)
+    tgt = Cloud(tgt.xyz, tgt.rgb, tgt.valid, normal=jnp.asarray(nrm))
+
+    cfg = ICPConfig(
+        max_iterations=15,
+        max_correspondence_distance=0.2,
+        transformation_epsilon=1e-12,
+        euclidean_fitness_epsilon=1e-12,
+        mse_threshold_absolute=1e-16,
+        variant="point_to_plane",
+        target_chunk=256,
+    )
+    res = icp_align(src, tgt, cfg)
+    expect = np.linalg.inv(
+        np.asarray(
+            make_rigid(
+                rotation_matrix(jnp.float32(0.03), 1),
+                jnp.asarray([0.01, -0.02, 0.015], jnp.float32),
+            )
+        )
+    )
+    assert bool(res.converged)
+    assert np.abs(np.asarray(res.transform) - expect).max() < 2e-3
+
+
+def test_icp_point_to_plane_requires_target_normals():
+    pts = _scene()
+    src = Cloud.from_numpy(pts)
+    tgt = Cloud.from_numpy(pts)
+    cfg = ICPConfig(variant="point_to_plane", target_chunk=256)
+    try:
+        icp_align(src, tgt, cfg)
+    except ValueError as e:
+        assert "normals" in str(e)
+    else:
+        raise AssertionError("expected ValueError without target normals")
+
+
+def test_icp_tight_epsilons_actually_iterate():
+    """Regression: the REL_MSE criterion must not fire on iteration 1.
+
+    With prev_mse seeded at float32 max, the TPU lowering of x/prev as
+    x * (1/prev) flushed the subnormal reciprocal to zero, so the relative
+    MSE read 0 < eps and every config stopped after one iteration."""
+    pts = _scene(n=600, seed=5)
+    src_pts, _ = _transform(pts, 0.05, [0.02, 0.0, -0.01])
+    src = Cloud.from_numpy(src_pts)
+    tgt = Cloud.from_numpy(pts)
+    cfg = ICPConfig(
+        max_iterations=30,
+        max_correspondence_distance=0.3,
+        transformation_epsilon=1e-12,
+        euclidean_fitness_epsilon=1e-12,
+        mse_threshold_absolute=1e-16,
+        target_chunk=256,
+    )
+    res = icp_align(src, tgt, cfg)
+    assert int(res.iterations) > 1
