@@ -37,6 +37,7 @@ def main():
         ICPConfig,
         NDTConfig,
         PipelineConfig,
+        RefineConfig,
         VoxelConfig,
     )
     from rspc_tpu.ops.deproject import Intrinsics
@@ -61,6 +62,12 @@ def main():
         ndt=NDTConfig(max_voxels=2048),
         edge=EdgeConfig(max_edge_points=16384),
         voxel=VoxelConfig(leaf_size=0.01, max_points=16384),
+        # Beyond-reference accuracy stage: full-cloud point-to-plane
+        # refinement (edge points are pixel-grid samples whose in-plane
+        # bias caps point-to-point accuracy at a few mm; see RefineConfig).
+        refine=RefineConfig(enabled=True),
+        # Never let the 1 m-resolution NDT stage worsen a good guess.
+        coarse_guard_cap=0.1,
     )
 
     def run():
@@ -83,11 +90,12 @@ def main():
         log(f"run {i}: {times[-1]:.3f}s")
     value = min(times)
 
-    # Accuracy vs ground truth
-    errs = []
-    for i, (coarse, fine) in enumerate(scheme.results, start=1):
-        total = np.asarray(fine.transform) @ np.asarray(coarse.transform)
-        errs.append(np.abs(total - seq.gt_transform(i)).max())
+    # Accuracy vs ground truth (composed coarse+fine+refine transforms)
+    totals = np.asarray(scheme.total_transforms)
+    errs = [
+        np.abs(totals[i - 1] - seq.gt_transform(i)).max()
+        for i in range(1, n_frames)
+    ]
     max_err = float(max(errs))
     fitness = [float(f.fitness) for _, f in scheme.results]
     converged = [bool(f.converged) for _, f in scheme.results]

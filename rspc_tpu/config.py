@@ -41,6 +41,10 @@ class ICPConfig:
     # (PCL analog TransformationEstimationPointToPlaneLLS) — requires
     # target clouds that carry normals (edge clouds do).
     variant: str = "point_to_point"
+    # Optional Huber-style robust reweighting of point-to-plane residuals:
+    # w *= min(1, delta / |r|). None = plain least squares. Mitigates the
+    # bias from correspondences across depth discontinuities.
+    huber_delta: float | None = None
     # TPU execution knobs (no reference analog):
     target_chunk: int = 2048   # target tile size for the XLA NN sweep
     use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back
@@ -115,6 +119,60 @@ class VoxelConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    """Beyond-reference full-cloud point-to-plane refinement stage.
+
+    The reference's pipeline fine-aligns on RGB-edge clouds only; edge
+    points are pixel-grid samples of texture boundaries, which biases
+    point-to-point ICP by up to ~z/fx per point along the surface. When
+    enabled, a third alignment stage refines each pair on the *full*
+    voxel-downsampled clouds with point-to-plane residuals against the
+    accumulated surface: voxel means of coplanar points stay on the
+    plane, so the in-plane sampling bias projects out entirely.
+
+    Off by default: the default pipeline is reference-parity.
+    """
+
+    enabled: bool = False
+    leaf_size: float = 0.04   # coarser than the edge voxel: surface
+                              # sampling density, not feature density
+    max_points: int = 8192    # per-frame capacity after downsampling
+    # Acceptance margin: the refined transform is kept only if it improves
+    # the capped NN score by this factor. A near-optimal input barely moves
+    # the score (the refinement would only swap one ~mm-scale bias for
+    # another), while a genuinely misaligned input improves it several-fold
+    # — so the margin makes refine engage exactly when the coarse chain
+    # failed.
+    accept_margin: float = 0.75
+    # Annealed stage schedule: wide correspondence cap + loose Huber first
+    # (pulls in starts the coarse stages left several cm off), then tight
+    # (converges on the unbiased point-to-plane optimum). Each stage is a
+    # full icp_align; the acceptance gate wraps the whole schedule.
+    stages: tuple = (
+        ICPConfig(
+            max_iterations=4,
+            max_correspondence_distance=0.4,
+            transformation_epsilon=1e-12,
+            euclidean_fitness_epsilon=1e-12,
+            mse_threshold_absolute=1e-16,
+            variant="point_to_plane",
+            huber_delta=0.05,
+            compute_fitness=False,
+        ),
+        ICPConfig(
+            max_iterations=6,
+            max_correspondence_distance=0.1,
+            transformation_epsilon=1e-12,
+            euclidean_fitness_epsilon=1e-12,
+            mse_threshold_absolute=1e-16,
+            variant="point_to_plane",
+            huber_delta=0.005,
+            compute_fitness=False,
+        ),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
 class RotationEstimatorConfig:
     """IMU complementary filter; alpha = 0.98
     (src/rotation_estimator.hpp:16)."""
@@ -160,6 +218,19 @@ class PipelineConfig:
     ndt: NDTConfig = NDTConfig()
     edge: EdgeConfig = EdgeConfig()
     voxel: VoxelConfig = VoxelConfig()
+    refine: RefineConfig = RefineConfig()
+    # Guard the coarse stage: if the coarse (NDT/ICP) output scores worse
+    # than the initial guess under the capped NN metric, keep the guess.
+    # The reference trusts its coarse stage unconditionally; at NDT's 1 m
+    # resolution the score optimum can sit several cm from a good IMU /
+    # static guess, and the loose fine ICP cannot recover (its
+    # max_correspondence_distance is 1 cm). 0 disables (the default:
+    # reference-parity behavior).
+    coarse_guard_cap: float = 0.0
+    # Fuse phase 2's sequential frame chain into one compiled lax.scan
+    # (single device dispatch for the whole registration). Semantically
+    # identical to the per-frame loop; disable to step frames from Python.
+    use_scan: bool = True
     rotation: RotationEstimatorConfig = RotationEstimatorConfig()
     translation: TranslationEstimatorConfig = TranslationEstimatorConfig()
     capture: CaptureConfig = CaptureConfig()

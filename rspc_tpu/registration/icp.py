@@ -150,7 +150,14 @@ def icp_align(
         tgt_m = jnp.take(tgt.xyz, idx, axis=0)
         if p2l:
             tgt_n = jnp.take(tgt.normal, idx, axis=0)
-            t_inc = plane_fit(src_t, tgt_m, tgt_n, w)
+            w_fit = w
+            if config.huber_delta is not None:
+                r = jnp.sum((src_t - tgt_m) * tgt_n, axis=-1)
+                w_fit = w * jnp.minimum(
+                    1.0,
+                    config.huber_delta / jnp.maximum(jnp.abs(r), 1e-12),
+                )
+            t_inc = plane_fit(src_t, tgt_m, tgt_n, w_fit)
         else:
             t_inc = rigid_fit(src_t, tgt_m, w)
         new_final = t_inc @ final_t

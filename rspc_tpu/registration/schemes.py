@@ -36,6 +36,7 @@ Reference quirks reproduced deliberately (SURVEY.md §7):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -47,6 +48,7 @@ import numpy as np
 from rspc_tpu.cloud import Cloud, OrganizedCloud
 from rspc_tpu.config import PipelineConfig
 from rspc_tpu.ops.edges import extract_edge_features
+from rspc_tpu.ops.normals import estimate_normals
 from rspc_tpu.ops.transform import (
     apply_transform_cloud,
     imu_guess_full,
@@ -124,34 +126,295 @@ class TwoPhaseRegistrationScheme(RegistrationScheme):
         return self.global_registration(feature_clouds)
 
 
-@partial(jax.jit, static_argnames=("icp_cfg", "leaf", "voxel_cap"))
-def _icp_pair_step(target: Cloud, edge: Cloud, guess, icp_cfg, leaf, voxel_cap):
+@partial(jax.jit, static_argnames=("icp_cfg", "leaf", "voxel_cap", "guard_cap"))
+def _icp_pair_step(
+    target: Cloud, edge: Cloud, guess, icp_cfg, leaf, voxel_cap,
+    guard_cap: float = 0.0,
+):
     """One frame of the edge-ICP chain: downsample source edges, coarse ICP
     with guess, fine ICP without, compose. The coarse stage's fitness is
     never consumed (only the fine stage's convergence gates merging),
     so its extra sweep is skipped."""
-    import dataclasses as _dc
-
     src_down = voxel_downsample(edge, leaf, voxel_cap)
-    coarse_cfg = _dc.replace(icp_cfg, compute_fitness=False)
+    coarse_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
     coarse = icp_align(src_down, target, coarse_cfg, guess)
+    if guard_cap > 0.0:
+        coarse = dataclasses.replace(
+            coarse,
+            transform=_guard_transform(
+                coarse.transform, guess, src_down, target, guard_cap
+            ),
+        )
     aligned = apply_transform_cloud(coarse.transform, src_down)
     fine = icp_align(aligned, target, icp_cfg)
     fine_aligned = apply_transform_cloud(fine.transform, aligned)
     return coarse, fine, fine_aligned
 
 
-@partial(jax.jit, static_argnames=("ndt_cfg", "icp_cfg", "leaf", "voxel_cap"))
-def _ndt_pair_step(target: Cloud, edge: Cloud, guess, ndt_cfg, icp_cfg, leaf, voxel_cap):
+@partial(
+    jax.jit,
+    static_argnames=("ndt_cfg", "icp_cfg", "leaf", "voxel_cap", "guard_cap"),
+)
+def _ndt_pair_step(
+    target: Cloud, edge: Cloud, guess, ndt_cfg, icp_cfg, leaf, voxel_cap,
+    guard_cap: float = 0.0,
+):
     """One frame of the NDT chain: downsample, NDT coarse with guess, fine
     ICP, compose (src/ndt_edge_based_registration.hpp:66-108)."""
     src_down = voxel_downsample(edge, leaf, voxel_cap)
     grid = build_ndt_grid(target, ndt_cfg)
     coarse = ndt_align(src_down, grid, ndt_cfg, guess)
+    if guard_cap > 0.0:
+        coarse = dataclasses.replace(
+            coarse,
+            transform=_guard_transform(
+                coarse.transform, guess, src_down, target, guard_cap
+            ),
+        )
     aligned = apply_transform_cloud(coarse.transform, src_down)
     fine = icp_align(aligned, target, icp_cfg)
     fine_aligned = apply_transform_cloud(fine.transform, aligned)
     return coarse, fine, fine_aligned
+
+
+def _capped_mean_sq(src: Cloud, tgt: Cloud, cap: float) -> jax.Array:
+    """Mean of min(NN dist^2, cap^2) over valid source points — the
+    monotone alignment score the acceptance/guard gates compare. Far /
+    unmatched points saturate at the cap instead of dominating."""
+    from rspc_tpu.ops.nn import nearest_neighbors
+
+    cap2 = cap * cap
+    if jax.default_backend() == "tpu":
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+
+        d2, _ = nearest_neighbors_pallas(src.xyz, src.valid, tgt.xyz, tgt.valid)
+    else:
+        d2, _ = nearest_neighbors(src.xyz, src.valid, tgt.xyz, tgt.valid)
+    d2c = jnp.minimum(jnp.where(jnp.isfinite(d2), d2, cap2), cap2)
+    w = src.valid.astype(src.xyz.dtype)
+    return jnp.sum(d2c * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _guard_transform(candidate_t, fallback_t, cloud: Cloud, tgt: Cloud, cap):
+    """Keep ``candidate_t`` only if it scores at least as well as
+    ``fallback_t`` under the capped NN metric (never-worsen gate)."""
+    s_cand = _capped_mean_sq(
+        apply_transform_cloud(candidate_t, cloud), tgt, cap
+    )
+    s_fall = _capped_mean_sq(
+        apply_transform_cloud(fallback_t, cloud), tgt, cap
+    )
+    return jnp.where(s_cand <= s_fall, candidate_t, fallback_t)
+
+
+def _refine_step(target_full: Cloud, src_full: Cloud, base_t, stages, margin):
+    """Full-cloud point-to-plane refinement (RefineConfig): run the
+    annealed stage schedule against the accumulated full surface. The
+    refined transform is ACCEPTED only if it improves the capped NN
+    score — refinement is monotone non-harmful even when the coarse
+    stages hand it a start outside the point-to-plane basin.
+    Returns (last stage result, accepted bool, total_transform)."""
+    src_t = apply_transform_cloud(base_t, src_full)
+    cur = src_t
+    rel = jnp.eye(4, dtype=src_full.xyz.dtype)
+    res = None
+    for stage_cfg in stages:
+        res = icp_align(cur, target_full, stage_cfg)
+        cur = apply_transform_cloud(res.transform, cur)
+        rel = res.transform @ rel
+    cap = stages[-1].max_correspondence_distance * 2.0
+    before = _capped_mean_sq(src_t, target_full, cap)
+    after = _capped_mean_sq(cur, target_full, cap)
+    accepted = after <= before * margin
+    total = jnp.where(accepted, rel @ base_t, base_t)
+    return res, accepted, total
+
+
+@partial(jax.jit, static_argnames=("stages", "margin"))
+def _refine_pair_step(
+    target_full: Cloud, src_full: Cloud, base_t, stages, margin
+):
+    """Jitted wrapper of _refine_step for the Python-loop path."""
+    return _refine_step(target_full, src_full, base_t, stages, margin)
+
+
+@partial(jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "with_full"))
+def _phase1_prepare(stacked: OrganizedCloud, edge_cfg, leaf, cap, with_full):
+    """Batched phase 1: edge clouds (and, when ``with_full``, the refine
+    stage's full downsampled clouds) for all frames in one launch."""
+
+    def one(oc):
+        e = extract_edge_features(oc, edge_cfg)
+        if with_full:
+            return e, _prepare_full_down(oc, edge_cfg, leaf, cap)
+        return e, ()
+
+    return jax.vmap(one)(stacked)
+
+
+@partial(jax.jit, static_argnames=("edge_cfg", "leaf", "cap"))
+def _prepare_full_down(oc: OrganizedCloud, edge_cfg, leaf, cap) -> Cloud:
+    """Phase-1 prep for the refine stage: attach integral-image normals to
+    the full organized cloud and voxel-downsample (means of coplanar
+    points stay on the plane). Under jit the normal estimation CSEs with
+    the edge extractor's own estimate_normals call."""
+    nrm, nv = estimate_normals(oc, edge_cfg)
+    h, w = oc.height, oc.width
+    flat = Cloud(
+        oc.xyz.reshape(h * w, 3),
+        oc.rgb.reshape(h * w, 3),
+        (oc.valid & nv).reshape(h * w),
+        normal=nrm.reshape(h * w, 3),
+    )
+    return voxel_downsample(flat, leaf, cap)
+
+
+def _where_tree(pred, a, b):
+    """Element-wise ``jnp.where(pred, a, b)`` over matching pytrees
+    (pred is a scalar bool; used as the converged-merge gate)."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "use_ndt",
+        "ndt_cfg",
+        "icp_cfg",
+        "refine_stages",
+        "leaf",
+        "voxel_cap",
+        "target_cap",
+        "global_cap",
+        "refine_target_cap",
+        "coarse_guard_cap",
+        "refine_margin",
+    ),
+)
+def _chain_scan(
+    edges_all,      # Cloud, leaves stacked [n, edge_cap, ...]
+    originals_all,  # Cloud, leaves stacked [n, orig_cap, ...]
+    full_all,       # Cloud with normals stacked [n, full_cap, ...] or None
+    guesses,        # f32[n-1, 4, 4]
+    use_ndt: bool,
+    ndt_cfg,
+    icp_cfg,
+    refine_stages,
+    leaf: float,
+    voxel_cap: int,
+    target_cap: int,
+    global_cap: int,
+    refine_target_cap: int,
+    coarse_guard_cap: float,
+    refine_margin: float = 0.75,
+):
+    """The whole phase-2 frame chain as ONE compiled program.
+
+    The reference's chain is inherently sequential (each pair aligns
+    against the accumulated target, SURVEY.md §3.1), but nothing about it
+    needs the host: with fixed-capacity target/global buffers every
+    iteration has identical shapes, so the loop is a ``lax.scan`` whose
+    carry is (edge target, refine target, global cloud). This removes the
+    per-frame dispatch latency and host syncs of the Python loop — on the
+    axon TPU tunnel each avoided round trip is ~25 ms, which at 10 frames
+    exceeds the entire compute budget of the north-star benchmark.
+
+    The per-frame convergence gate (icp_edge_based_registration.hpp:
+    113-123: a non-converged frame is simply not merged) becomes a
+    ``jnp.where`` select over the carry.
+    """
+    refine = full_all is not None
+
+    edges_down = jax.vmap(lambda c: voxel_downsample(c, leaf, voxel_cap))(
+        edges_all
+    )
+    first = lambda t: jax.tree.map(lambda x: x[0], t)
+    rest = lambda t: jax.tree.map(lambda x: x[1:], t)
+
+    target0 = first(edges_down)
+    target = merge_append(
+        Cloud.empty(target_cap, with_normal=target0.normal is not None),
+        target0,
+    )
+    global_cloud = merge_append(Cloud.empty(global_cap), first(originals_all))
+    if refine:
+        target_full = merge_append(
+            Cloud.empty(refine_target_cap, with_normal=True), first(full_all)
+        )
+    else:
+        target_full = ()
+
+    coarse_icp_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
+
+    def body(carry, x):
+        target, target_full, global_cloud = carry
+        edge_i, orig_i, full_i, guess = x
+
+        if use_ndt:
+            grid = build_ndt_grid(target, ndt_cfg)
+            coarse = ndt_align(edge_i, grid, ndt_cfg, guess)
+        else:
+            coarse = icp_align(edge_i, target, coarse_icp_cfg, guess)
+        if coarse_guard_cap > 0.0:
+            coarse = dataclasses.replace(
+                coarse,
+                transform=_guard_transform(
+                    coarse.transform, guess, edge_i, target, coarse_guard_cap
+                ),
+            )
+        aligned = apply_transform_cloud(coarse.transform, edge_i)
+        fine = icp_align(aligned, target, icp_cfg)
+        t2 = fine.transform @ coarse.transform
+
+        if refine:
+            ref, _, total = _refine_step(
+                target_full, full_i, t2, refine_stages, refine_margin
+            )
+        else:
+            ref = ()
+            total = t2
+
+        conv = fine.converged
+        target = _where_tree(
+            conv,
+            merge_append(target, apply_transform_cloud(total, edge_i)),
+            target,
+        )
+        if refine:
+            target_full = _where_tree(
+                conv,
+                merge_append(
+                    target_full, apply_transform_cloud(total, full_i)
+                ),
+                target_full,
+            )
+        global_cloud = _where_tree(
+            conv,
+            merge_append(global_cloud, apply_transform_cloud(total, orig_i)),
+            global_cloud,
+        )
+        return (target, target_full, global_cloud), (coarse, fine, ref, total)
+
+    xs = (
+        rest(edges_down),
+        rest(originals_all),
+        rest(full_all) if refine else (),  # () scans as an empty pytree
+        guesses,
+    )
+    (target, target_full, global_cloud), ys = jax.lax.scan(
+        body, (target, target_full, global_cloud), xs
+    )
+    coarse_s, fine_s, ref_s, totals = ys
+    return {
+        "target": target,
+        "target_full": target_full,
+        "global": global_cloud,
+        "coarse": coarse_s,
+        "fine": fine_s,
+        "refine": ref_s,
+        "totals": totals,
+        "edges_down0": target0,
+    }
 
 
 class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
@@ -176,6 +439,34 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         self.rads = float(rads) if rads is not None else config.default_rads
         self.dataset_dir = dataset_dir
         self.results: List[Tuple[object, ICPResult]] = []  # (coarse, fine) per frame
+        self.refine_results: List[ICPResult] = []
+        self.total_transforms = None  # [n-1,4,4] composed per-frame transforms
+        self._full_down: Optional[List[Cloud]] = None
+
+    def registration(self, clouds: Sequence) -> Cloud:
+        r = self.config.refine
+        self._full_down = None
+        if r.enabled and not all(
+            isinstance(c, OrganizedCloud) for c in clouds
+        ):
+            raise ValueError(
+                "the refine stage needs organized input clouds "
+                "(normal estimation is image-shaped)"
+            )
+        features = self.batch_extract_features(clouds)
+        if features is None:
+            features = [self.extract_features(c) for c in clouds]
+        if r.enabled and self._full_down is None:
+            self._full_down = [
+                _prepare_full_down(
+                    c, self.config.edge, r.leaf_size, r.max_points
+                )
+                for c in clouds
+            ]
+        feature_clouds = [
+            (f, _as_unorganized(c)) for f, c in zip(features, clouds)
+        ]
+        return self.global_registration(feature_clouds)
 
     def extract_features(self, cloud):
         if not isinstance(cloud, OrganizedCloud):
@@ -189,29 +480,27 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         """Phase 1 vmapped over frames when all clouds share one shape —
         one device launch for the whole sequence instead of N (the frames
         are independent; this is the per-frame data parallelism SURVEY.md
-        §2c identifies)."""
+        §2c identifies). When the refine stage is on, the same launch also
+        produces the full downsampled clouds with normals (the normal
+        image CSEs with the edge detector's own estimate)."""
         if not all(isinstance(c, OrganizedCloud) for c in clouds):
             return None
         shapes = {(c.height, c.width) for c in clouds}
         if len(shapes) != 1 or len(clouds) < 2:
             return None
+        r = self.config.refine
         stacked = OrganizedCloud(
             xyz=jnp.stack([c.xyz for c in clouds]),
             rgb=jnp.stack([c.rgb for c in clouds]),
             valid=jnp.stack([c.valid for c in clouds]),
         )
-        batched = jax.vmap(
-            lambda oc: extract_edge_features(oc, self.config.edge)
-        )(stacked)
-        return [
-            Cloud(
-                batched.xyz[i],
-                batched.rgb[i],
-                batched.valid[i],
-                None if batched.normal is None else batched.normal[i],
-            )
-            for i in range(len(clouds))
-        ]
+        batched, full = _phase1_prepare(
+            stacked, self.config.edge, r.leaf_size, r.max_points, r.enabled
+        )
+        idx = lambda t, i: jax.tree.map(lambda x: x[i], t)
+        if r.enabled:
+            self._full_down = [idx(full, i) for i in range(len(clouds))]
+        return [idx(batched, i) for i in range(len(clouds))]
 
     def _guess(self, idx: int, rel_thetas, acc_rads: float):
         if self.use_imu:
@@ -223,20 +512,107 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             )
         return static_y_guess(acc_rads)
 
+    def _guesses(self, n: int):
+        """Stacked [n-1,4,4] initial guesses. The static-guess accumulator
+        advances for every frame, converged or not (reference :98-101), so
+        all guesses are computable up front in both modes."""
+        rel = relative_thetas(self.thetas) if self.use_imu else None
+        out = []
+        acc_rads = 0.0
+        for idx in range(1, n):
+            if not self.use_imu:
+                acc_rads += self.rads
+            out.append(self._guess(idx, rel, acc_rads))
+        return jnp.stack(out)
+
+    def _dump_edges(self, edges: List[Cloud], target: Cloud | None):
+        if not (self.saves_edge_pcds and self.dataset_dir is not None):
+            return
+        from rspc_tpu.io.pcd import save_pcd
+
+        os.makedirs(self.dataset_dir, exist_ok=True)
+        for i, e in enumerate(edges):
+            save_pcd(
+                os.path.join(self.dataset_dir, f"edge-{i}.pcd"),
+                e,
+                keep_invalid=False,
+            )
+        if target is not None:
+            save_pcd(
+                os.path.join(self.dataset_dir, "edge_cloud.pcd"),
+                target,
+                keep_invalid=False,
+            )
+
     def global_registration(self, clouds: List[Tuple[Cloud, Cloud]]) -> Cloud:
         cfg = self.config
         n = len(clouds)
         if self.use_imu:
             assert self.thetas.shape[0] == n, "thetas/clouds size mismatch"
-            rel = relative_thetas(self.thetas)
-        else:
-            rel = None
 
-        voxel_cap = cfg.voxel.max_points
-        target_cap = voxel_cap * n
         edges = [c[0] for c in clouds]
         originals = [c[1] for c in clouds]
+
+        uniform = (
+            n >= 2
+            and len({e.capacity for e in edges}) == 1
+            and len({o.capacity for o in originals}) == 1
+            and len({e.normal is None for e in edges}) == 1
+        )
+        if cfg.use_scan and uniform:
+            return self._global_registration_scan(edges, originals)
+        return self._global_registration_loop(edges, originals)
+
+    def _global_registration_scan(
+        self, edges: List[Cloud], originals: List[Cloud]
+    ) -> Cloud:
+        cfg = self.config
+        n = len(edges)
+        refine_on = cfg.refine.enabled
+        stack = lambda lst: jax.tree.map(lambda *x: jnp.stack(x), *lst)
+
+        out = _chain_scan(
+            stack(edges),
+            stack(originals),
+            stack(self._full_down) if refine_on else None,
+            self._guesses(n),
+            self.use_ndt_coarse,
+            cfg.ndt,
+            cfg.icp,
+            cfg.refine.stages,
+            cfg.voxel.leaf_size,
+            cfg.voxel.max_points,
+            cfg.voxel.max_points * n,
+            sum(o.capacity for o in originals),
+            cfg.refine.max_points * n,
+            cfg.coarse_guard_cap,
+            cfg.refine.accept_margin,
+        )
+
+        pick = lambda t, i: jax.tree.map(lambda x: x[i], t)
+        self.results = [
+            (pick(out["coarse"], i), pick(out["fine"], i))
+            for i in range(n - 1)
+        ]
+        self.refine_results = (
+            [pick(out["refine"], i) for i in range(n - 1)] if refine_on else []
+        )
+        self.total_transforms = out["totals"]
+        self._dump_edges(
+            [out["edges_down0"]] + list(edges[1:]), out["target"]
+        )
+        return out["global"]
+
+    def _global_registration_loop(
+        self, edges: List[Cloud], originals: List[Cloud]
+    ) -> Cloud:
+        cfg = self.config
+        n = len(edges)
+        refine_on = cfg.refine.enabled
+        voxel_cap = cfg.voxel.max_points
+        target_cap = voxel_cap * n
         global_cap = sum(o.capacity for o in originals)
+        guesses = self._guesses(n)
 
         # target starts as the voxel-downsampled edges of frame 0
         # (downsampled IN PLACE in the reference — edge-0.pcd dumps the
@@ -248,40 +624,53 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         )
         global_cloud = merge_append(Cloud.empty(global_cap), originals[0])
         edges = [target0] + list(edges[1:])
+        if refine_on:
+            target_full = merge_append(
+                Cloud.empty(cfg.refine.max_points * n, with_normal=True),
+                self._full_down[0],
+            )
 
-        if self.saves_edge_pcds and self.dataset_dir is not None:
-            from rspc_tpu.io.pcd import save_pcd
+        self._dump_edges(edges, None)
 
-            os.makedirs(self.dataset_dir, exist_ok=True)
-            for i, e in enumerate(edges):
-                save_pcd(
-                    os.path.join(self.dataset_dir, f"edge-{i}.pcd"),
-                    e,
-                    keep_invalid=False,
-                )
-
-        acc_rads = 0.0
         self.results = []
+        self.refine_results = []
+        totals = []
         for idx in range(1, n):
-            if not self.use_imu:
-                acc_rads += self.rads  # advances even on non-convergence
-            guess = self._guess(idx, rel, acc_rads)
+            guess = guesses[idx - 1]
             if self.use_ndt_coarse:
                 coarse, fine, fine_aligned = _ndt_pair_step(
                     target, edges[idx], guess, cfg.ndt, cfg.icp,
-                    cfg.voxel.leaf_size, voxel_cap,
+                    cfg.voxel.leaf_size, voxel_cap, cfg.coarse_guard_cap,
                 )
             else:
                 coarse, fine, fine_aligned = _icp_pair_step(
                     target, edges[idx], guess, cfg.icp,
-                    cfg.voxel.leaf_size, voxel_cap,
+                    cfg.voxel.leaf_size, voxel_cap, cfg.coarse_guard_cap,
                 )
             self.results.append((coarse, fine))
+            total = fine.transform @ coarse.transform
+            if refine_on:
+                ref, accepted, total = _refine_pair_step(
+                    target_full, self._full_down[idx], total,
+                    cfg.refine.stages, cfg.refine.accept_margin,
+                )
+                self.refine_results.append(ref)
+                delta = jnp.where(
+                    accepted, ref.transform, jnp.eye(4, dtype=total.dtype)
+                )
+                fine_aligned = apply_transform_cloud(delta, fine_aligned)
+            totals.append(total)
             if bool(fine.converged):
-                total = fine.transform @ coarse.transform
                 transformed = apply_transform_cloud(total, originals[idx])
                 target = merge_append(target, fine_aligned)
+                if refine_on:
+                    target_full = merge_append(
+                        target_full,
+                        apply_transform_cloud(total, self._full_down[idx]),
+                    )
                 global_cloud = merge_append(global_cloud, transformed)
+
+        self.total_transforms = jnp.stack(totals) if totals else None
 
         if self.saves_edge_pcds and self.dataset_dir is not None:
             from rspc_tpu.io.pcd import save_pcd
