@@ -59,7 +59,10 @@ def main():
     # TPU capacity knobs sized for this workload.
     config = PipelineConfig(
         icp=ICPConfig(target_chunk=4096),
-        ndt=NDTConfig(max_voxels=2048),
+        # DIRECT7-style neighborhood: ~4x fewer gathers in the NDT score
+        # path for near-identical optima (the coarse guard + refine stage
+        # absorb the residual difference).
+        ndt=NDTConfig(neighborhood=7),
         edge=EdgeConfig(max_edge_points=16384),
         voxel=VoxelConfig(leaf_size=0.01, max_points=16384),
         # Beyond-reference accuracy stage: full-cloud point-to-plane

@@ -71,7 +71,13 @@ class NDTConfig:
     outlier_ratio: float = 0.55           # PCL default
     min_points_per_voxel: int = 6         # PCL VoxelGridCovariance default
     line_search_max_iterations: int = 10  # PCL computeStepLengthMT max
-    # Static capacity for the target voxel table (TPU knob):
+    # Score neighborhood per source point: 27 = full 3^3 adjacency
+    # (exactly PCL's radiusSearch(resolution), the default); 7 = center +
+    # faces (ndt_omp's DIRECT7 — ~4x fewer gathers in the hot path for
+    # near-identical optima); 1 = containing cell only (DIRECT1).
+    neighborhood: int = 27
+    # Static capacity for the target voxel table (legacy TPU knob; the
+    # dense incremental grid is bounded by dense_grid_dim instead):
     max_voxels: int = 4096
     # Dense voxel-slot lookup grid dimension (TPU knob): cells per axis,
     # spanning dense_grid_dim * resolution meters from the occupied

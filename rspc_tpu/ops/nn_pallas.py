@@ -48,34 +48,50 @@ def _nn_kernel(nchunks_ref, src_ref, tgt_ref, pen_ref, score_ref, idx_ref):
     src = src_ref[:]  # [TS, 3]
     num_chunks = nchunks_ref[0]
 
+    s0 = src[:, 0:1]  # [TS,1] per-dim source lanes, broadcast against
+    s1 = src[:, 1:2]  # target rows below
+    s2 = src[:, 2:3]
+
     def body(c, carry):
-        best_s, best_i = carry
+        best_v, best_c = carry  # [TS, TT] per-LANE running best
         base = c * TGT_CHUNK
         t = tgt_ref[:, pl.ds(base, TGT_CHUNK)]        # [3, TT]
         pen = pen_ref[0, pl.ds(base, TGT_CHUNK)]      # [TT]
         norm2 = jnp.sum(t * t, axis=0)                # [TT]
-        # precision=HIGHEST: f32 MXU passes — bf16 truncation flips argmin
-        # winners at mm separations (same analysis as ops/nn.py).
-        cross = jax.lax.dot_general(
-            src,
-            t,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # MXU [TS, TT]
+        # VPU broadcast FMAs instead of a [TS,3]x[3,TT] matmul: a K=3
+        # contraction uses 3/128 of the MXU's depth, and the f32 HIGHEST
+        # pass decomposition makes it slower still. (bf16 MXU is not an
+        # option: truncation flips argmin winners at mm separations, same
+        # analysis as ops/nn.py.)
+        cross = s0 * t[0][None, :] + s1 * t[1][None, :] + s2 * t[2][None, :]
         score = (norm2 + pen)[None, :] - 2.0 * cross  # [TS, TT]
-        cs = jnp.min(score, axis=1)                   # [TS]
-        ci = jnp.argmin(score, axis=1).astype(jnp.int32) + base
-        upd = cs < best_s
-        return jnp.where(upd, cs, best_s), jnp.where(upd, ci, best_i)
+        # Elementwise-only chunk update: the per-chunk min/argmin lane
+        # reductions were the kernel's real bottleneck (a cross-lane
+        # reduction per chunk per tile); tracking the best score *per
+        # lane* plus the chunk it came from defers the only cross-lane
+        # reduction to once per source tile.
+        upd = score < best_v
+        return (
+            jnp.where(upd, score, best_v),
+            jnp.where(upd, c, best_c),
+        )
 
     init = (
-        jnp.full((SRC_TILE,), jnp.inf, jnp.float32),
-        jnp.zeros((SRC_TILE,), jnp.int32),
+        jnp.full((SRC_TILE, TGT_CHUNK), jnp.inf, jnp.float32),
+        jnp.zeros((SRC_TILE, TGT_CHUNK), jnp.int32),
     )
-    best_s, best_i = jax.lax.fori_loop(0, num_chunks, body, init)
-    score_ref[:] = best_s[:, None]
-    idx_ref[:] = best_i[:, None]
+    best_v, best_c = jax.lax.fori_loop(0, num_chunks, body, init)
+
+    cs = jnp.min(best_v, axis=1)                      # [TS]
+    lane = jnp.argmin(best_v, axis=1).astype(jnp.int32)
+    # winner's chunk id via one-hot sum (lane-dynamic gather is not a
+    # native VPU op; a masked sum is)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (SRC_TILE, TGT_CHUNK), 1)
+    chunk = jnp.sum(
+        jnp.where(lanes == lane[:, None], best_c, 0), axis=1
+    )
+    score_ref[:] = cs[:, None]
+    idx_ref[:] = (chunk * TGT_CHUNK + lane)[:, None]
 
 
 @partial(jax.jit, static_argnames=("interpret",))

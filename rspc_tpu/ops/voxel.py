@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from rspc_tpu.cloud import Cloud
+from rspc_tpu.ops.segment import sorted_segment_bounds, sorted_segment_sum
 
 
 def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
@@ -66,27 +67,38 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
         [jnp.ones((1,), jnp.bool_), skey[1:] != skey[:-1]]
     )
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [N]
+    # invalid tail (key 2^30) sorts last and shares one segment; push its
+    # id out of query range so the bounds exclude it entirely
+    seg_id = jnp.where(valid_s, seg_id, jnp.int32(2**30))
 
-    in_range = valid_s & (seg_id < max_points)
-    w = in_range.astype(xyz.dtype)
-    seg_safe = jnp.where(in_range, seg_id, 0)
+    starts, ends = sorted_segment_bounds(seg_id, max_points)
+    counts = (ends - starts).astype(xyz.dtype)
 
-    sum_xyz = jax.ops.segment_sum(xyz_s * w[:, None], seg_safe, num_segments=max_points)
-    sum_rgb = jax.ops.segment_sum(rgb_s * w[:, None], seg_safe, num_segments=max_points)
-    counts = jax.ops.segment_sum(w, seg_safe, num_segments=max_points)
+    # f32 accuracy: prefix-sum differences lose the low bits of the
+    # running total, so xyz is reduced as RESIDUALS against each point's
+    # voxel corner (|r| < leaf) and the corner is added back to the mean.
+    corner = (
+        jnp.stack(
+            [(skey >> 20) & 0x3FF, (skey >> 10) & 0x3FF, skey & 0x3FF],
+            axis=-1,
+        ).astype(xyz.dtype)
+        + cmin.astype(xyz.dtype)[None, :]
+    ) * jnp.asarray(leaf_size, xyz.dtype)
+    resid = jnp.where(valid_s[:, None], xyz_s - corner, 0.0)
 
     denom = jnp.maximum(counts, 1.0)[:, None]
-    out_xyz = sum_xyz / denom
-    out_rgb = sum_rgb / denom
+    start_pos = jnp.minimum(starts, n - 1)
+    corner_slot = jnp.take(corner, start_pos, axis=0)
+    out_xyz = corner_slot + sorted_segment_sum(resid, starts, ends) / denom
+    out_rgb = sorted_segment_sum(rgb_s, starts, ends) / denom
     out_valid = counts > 0
+    out_xyz = jnp.where(out_valid[:, None], out_xyz, 0.0)
     out_nrm = None
     if nrm_s is not None:
         # mean normal per voxel, renormalized (degenerate sums fall back
         # to +z so downstream math stays finite; such voxels are rare --
         # they need opposing normals in one 1 cm leaf)
-        sum_n = jax.ops.segment_sum(
-            nrm_s * w[:, None], seg_safe, num_segments=max_points
-        )
+        sum_n = sorted_segment_sum(nrm_s, starts, ends)
         nlen = jnp.linalg.norm(sum_n, axis=-1, keepdims=True)
         out_nrm = jnp.where(
             nlen > 1e-12, sum_n / jnp.maximum(nlen, 1e-12),

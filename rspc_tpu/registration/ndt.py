@@ -46,9 +46,6 @@ from rspc_tpu.cloud import Cloud
 from rspc_tpu.config import NDTConfig
 from rspc_tpu.ops.transform import rotation_matrix
 
-_KEY_OFFSET = 512  # voxel coords packed as 10-bit fields (scene within ±512 cells)
-
-
 def _register(cls):
     fields = [f.name for f in dataclasses.fields(cls)]
     jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
@@ -58,20 +55,26 @@ def _register(cls):
 @_register
 @dataclasses.dataclass(frozen=True)
 class NDTGrid:
-    """Target voxel-Gaussian table (pcl::VoxelGridCovariance equivalent).
+    """Target voxel-Gaussian grid (pcl::VoxelGridCovariance equivalent).
 
-    ``table`` is a dense [D^3] voxel-coord -> slot map (slot -1 = empty)
-    anchored at ``origin`` (the occupied bounding box's min cell): the hot
-    score path resolves a point's voxel with ONE gather instead of a
-    binary search over packed keys — the searchsorted version cost ~12
-    sequential gather rounds per lookup and dominated the NDT runtime."""
+    DENSE and INCREMENTAL: cells live in a [D^3] grid anchored at
+    ``origin`` (cell index IS the slot — the hot score path resolves a
+    point's voxel with one gather, no search), and the grid carries its
+    raw moment accumulators so frames can be ADDED without re-sorting the
+    accumulated target (``ndt_grid_add``): voxel moments are additive,
+    and the re-sort-per-pair of the naive build was the single hottest
+    op of the whole registration chain on TPU.
 
-    keys: jax.Array      # i32[V] packed voxel coords, sorted ascending
-    means: jax.Array     # f32[V,3]
-    inv_covs: jax.Array  # f32[V,3,3]
-    valid: jax.Array     # bool[V]
-    table: jax.Array     # i32[D^3] dense voxel->slot lookup (-1 empty)
-    origin: jax.Array    # i32[3] cell coords of table[0,0,0]
+    ``moments`` layout per cell: [count, sum_r(3), sum_rr^T(9)] where r
+    is the point residual against its cell corner — corner-relative
+    moments keep f32 exact at mm scales and shift back losslessly
+    (mean = corner + sum_r/n; covariance is shift-invariant)."""
+
+    moments: jax.Array   # f32[D^3, 13] additive accumulators
+    means: jax.Array     # f32[D^3, 3]
+    inv_covs: jax.Array  # f32[D^3, 3, 3]
+    valid: jax.Array     # bool[D^3] (count >= min_points_per_voxel)
+    origin: jax.Array    # i32[3] cell coords of cell (0,0,0)
 
 
 @_register
@@ -84,56 +87,58 @@ class NDTResult:
     trans_probability: jax.Array  # f32 score / n_points (PCL accessor)
 
 
-def _pack(coords: jnp.ndarray) -> jnp.ndarray:
-    c = jnp.clip(coords + _KEY_OFFSET, 0, 1023)
-    return (c[..., 0] << 20) | (c[..., 1] << 10) | c[..., 2]
+def ndt_grid_origin(cloud: Cloud, config: NDTConfig) -> jax.Array:
+    """Grid anchor: the occupied bounding box's min cell, centered so the
+    [D^3] span has symmetric headroom for frames added later."""
+    res = config.resolution
+    d = config.dense_grid_dim
+    coords = jnp.floor(cloud.xyz / res).astype(jnp.int32)
+    big = jnp.int32(2**20)
+    cmin = jnp.min(jnp.where(cloud.valid[:, None], coords, big), axis=0)
+    cmax = jnp.max(jnp.where(cloud.valid[:, None], coords, -big), axis=0)
+    empty = cmin == big
+    cmin = jnp.where(empty, 0, cmin)
+    cmax = jnp.where(empty, 0, cmax)
+    margin = jnp.maximum((d - (cmax - cmin + 1)) // 2, 0)
+    return cmin - margin
 
 
 @partial(jax.jit, static_argnames=("config",))
-def build_ndt_grid(target: Cloud, config: NDTConfig = NDTConfig()) -> NDTGrid:
-    """Voxelize the target into per-voxel Gaussians.
+def ndt_grid_init(origin: jax.Array, config: NDTConfig = NDTConfig()) -> NDTGrid:
+    """Empty dense grid anchored at ``origin`` (i32[3] cell coords)."""
+    c = config.dense_grid_dim ** 3
+    return NDTGrid(
+        moments=jnp.zeros((c, 13), jnp.float32),
+        means=jnp.zeros((c, 3), jnp.float32),
+        inv_covs=jnp.zeros((c, 3, 3), jnp.float32),
+        valid=jnp.zeros((c,), jnp.bool_),
+        origin=origin.astype(jnp.int32),
+    )
 
-    PCL semantics: sample covariance (n-1 normalization), voxels with
+
+def _finalize(moments: jax.Array, origin: jax.Array, config: NDTConfig):
+    """Derive (means, inv_covs, valid) from raw cell moments.
+
+    PCL semantics: sample covariance (n-1 normalization), cells with
     fewer than ``min_points_per_voxel`` (6) discarded, eigenvalue
-    inflation at 0.01 * lambda_max (VoxelGridCovariance defaults).
-    """
-    xyz, valid = target.xyz, target.valid
-    n = target.capacity
-    vmax = config.max_voxels
+    inflation at 0.01 * lambda_max (VoxelGridCovariance defaults)."""
+    d = config.dense_grid_dim
     res = config.resolution
-
-    coords = jnp.floor(xyz / res).astype(jnp.int32)
-    keys = jnp.where(valid, _pack(coords), jnp.int32(2**30))
-
-    perm0 = jnp.arange(n, dtype=jnp.int32)
-    keys_s, perm = jax.lax.sort((keys, perm0), num_keys=1)
-    xyz_s = jnp.take(xyz, perm, axis=0)
-    valid_s = jnp.take(valid, perm, axis=0)
-
-    new_seg = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), keys_s[1:] != keys_s[:-1]]
-    )
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    in_range = valid_s & (seg_id < vmax)
-    w = in_range.astype(xyz.dtype)
-    seg_safe = jnp.where(in_range, seg_id, 0)
-
-    counts = jax.ops.segment_sum(w, seg_safe, num_segments=vmax)
-    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg_safe, num_segments=vmax)
-    outer = xyz_s[:, :, None] * xyz_s[:, None, :] * w[:, None, None]
-    sq_sums = jax.ops.segment_sum(outer, seg_safe, num_segments=vmax)
-    seg_keys = jax.ops.segment_max(
-        jnp.where(in_range, keys_s, -(2**30)), seg_safe, num_segments=vmax
-    )
-
+    counts = moments[:, 0]
     cnt = jnp.maximum(counts, 1.0)
-    means = sums / cnt[:, None]
-    # sample covariance with n-1 normalization (PCL VoxelGridCovariance)
-    cov = (sq_sums - cnt[:, None, None] * means[:, :, None] * means[:, None, :]) / (
+    mu_r = moments[:, 1:4] / cnt[:, None]
+    sq = moments[:, 4:13].reshape(-1, 3, 3)
+    cov = (sq - cnt[:, None, None] * mu_r[:, :, None] * mu_r[:, None, :]) / (
         jnp.maximum(counts - 1.0, 1.0)[:, None, None]
     )
-
     ok = counts >= config.min_points_per_voxel
+
+    cells = jnp.arange(d**3, dtype=jnp.int32)
+    cell_coords = jnp.stack(
+        [cells // (d * d), (cells // d) % d, cells % d], axis=-1
+    )
+    corner = (cell_coords + origin[None, :]).astype(jnp.float32) * res
+    means = corner + mu_r
 
     # Eigenvalue inflation + inverse, batched 3x3 eigh.
     cov_safe = jnp.where(ok[:, None, None], cov, jnp.eye(3, dtype=cov.dtype))
@@ -146,35 +151,45 @@ def build_ndt_grid(target: Cloud, config: NDTConfig = NDTConfig()) -> NDTGrid:
         "vij,vj,vkj->vik", evecs, 1.0 / evals_inf, evecs,
         precision=jax.lax.Precision.HIGHEST,
     )
+    return (
+        jnp.where(ok[:, None], means, 0.0),
+        jnp.where(ok[:, None, None], inv_cov, 0.0),
+        ok,
+    )
 
-    # Dense lookup table: unpack each occupied slot's coords, anchor at the
-    # min occupied cell, scatter slot ids into a [D^3] map.
+
+@partial(jax.jit, static_argnames=("config",))
+def ndt_grid_add(
+    grid: NDTGrid, cloud: Cloud, config: NDTConfig = NDTConfig()
+) -> NDTGrid:
+    """Accumulate a cloud's points into the grid (additive voxel moments:
+    ONE scatter-add of per-point [count, r, r r^T] rows, no sort) and
+    re-finalize. Points outside the [D^3] span are dropped."""
+    res = config.resolution
     d = config.dense_grid_dim
-    kx = (seg_keys >> 20) & 0x3FF
-    ky = (seg_keys >> 10) & 0x3FF
-    kz = seg_keys & 0x3FF
-    coords_v = jnp.stack([kx, ky, kz], axis=-1)  # [V,3], offset by _KEY_OFFSET
-    big_c = jnp.int32(2**20)
-    coords_masked = jnp.where(ok[:, None], coords_v, big_c)
-    origin = jnp.min(coords_masked, axis=0)
-    origin = jnp.where(origin == big_c, 0, origin)  # empty grid fallback
-    rel = coords_v - origin
-    in_bounds = ok & jnp.all((rel >= 0) & (rel < d), axis=-1)
-    flat = (rel[:, 0] * d + rel[:, 1]) * d + rel[:, 2]
-    flat = jnp.where(in_bounds, flat, d**3)  # OOB -> dropped
-    table = jnp.full((d**3,), jnp.int32(-1))
-    table = table.at[flat].set(
-        jnp.arange(vmax, dtype=jnp.int32), mode="drop"
+    xyz, valid = cloud.xyz, cloud.valid
+    coords = jnp.floor(xyz / res).astype(jnp.int32)
+    rel = coords - grid.origin[None, :]
+    in_b = valid & jnp.all((rel >= 0) & (rel < d), axis=-1)
+    flat = jnp.where(in_b, (rel[:, 0] * d + rel[:, 1]) * d + rel[:, 2], d**3)
+    r = xyz - coords.astype(xyz.dtype) * res  # corner residual in [0, res)
+    rr = (r[:, :, None] * r[:, None, :]).reshape(-1, 9)
+    upd = jnp.concatenate([jnp.ones_like(r[:, :1]), r, rr], axis=-1)
+    upd = jnp.where(in_b[:, None], upd, 0.0)
+    moments = grid.moments.at[flat].add(upd, mode="drop")
+    means, inv_covs, ok = _finalize(moments, grid.origin, config)
+    return NDTGrid(
+        moments=moments, means=means, inv_covs=inv_covs, valid=ok,
+        origin=grid.origin,
     )
 
-    return NDTGrid(
-        keys=jnp.where(ok, seg_keys, jnp.int32(2**30 + 1)),
-        means=jnp.where(ok[:, None], means, 0.0),
-        inv_covs=jnp.where(ok[:, None, None], inv_cov, 0.0),
-        valid=ok,
-        table=table,
-        origin=origin - _KEY_OFFSET,  # back to raw cell coords
-    )
+
+@partial(jax.jit, static_argnames=("config",))
+def build_ndt_grid(target: Cloud, config: NDTConfig = NDTConfig()) -> NDTGrid:
+    """Voxelize a target into per-voxel Gaussians (one-shot build:
+    origin from the cloud's own bounding box, then one accumulate)."""
+    origin = ndt_grid_origin(target, config)
+    return ndt_grid_add(ndt_grid_init(origin, config), target, config)
 
 
 def _gauss_coeffs(config: NDTConfig):
@@ -214,25 +229,37 @@ def _matrix_to_pose(t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
-    """Returns f(p) = -score(p): minimized by Newton. One [N,27] gather +
+    """Returns f(p) = -score(p): minimized by Newton. One [N,k] gather +
     quadratic-form + exp sweep, fully fused."""
     d1, d2 = _gauss_coeffs(config)
     res = config.resolution
     xyz, valid = src.xyz, src.valid
     w_src = valid.astype(xyz.dtype)
 
-    offs = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
-            indexing="ij",
-        ),
-        axis=-1,
-    ).reshape(27, 3)
+    if config.neighborhood == 27:
+        offs = jnp.stack(
+            jnp.meshgrid(
+                jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(27, 3)
+    elif config.neighborhood == 7:
+        offs = jnp.asarray(
+            [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+             [0, 0, 1], [0, 0, -1]],
+            jnp.int32,
+        )
+    elif config.neighborhood == 1:
+        offs = jnp.zeros((1, 3), jnp.int32)
+    else:
+        raise ValueError("neighborhood must be 27, 7, or 1")
+    k = offs.shape[0]
 
     d = config.dense_grid_dim
 
     def lookup(p):
-        """Neighborhood query at pose p: per (point, 27-offset) the voxel
+        """Neighborhood query at pose p: per (point, offset) the voxel
         Gaussian params and a hit mask. TPU gathers are the expensive part
         of the NDT evaluation, so the Newton loop calls this ONCE per
         iteration and differentiates the gather-free objective below with
@@ -241,20 +268,20 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         t = _pose_to_matrix(p)
         pts = xyz @ t[:3, :3].T + t[:3, 3]
         coords = jnp.floor(pts / res).astype(jnp.int32)  # [N,3]
-        rel = coords[:, None, :] + offs[None, :, :] - grid.origin  # [N,27,3]
+        rel = coords[:, None, :] + offs[None, :, :] - grid.origin  # [N,k,3]
         in_b = jnp.all((rel >= 0) & (rel < d), axis=-1)
         flat = (rel[..., 0] * d + rel[..., 1]) * d + rel[..., 2]
         flat = jnp.where(in_b, flat, 0)
-        slot = jnp.take(grid.table, flat)  # ONE gather instead of a search
-        hit = in_b & (slot >= 0)
-        idx = jnp.where(hit, slot, 0)
+        # dense grid: the cell index IS the slot
+        hit = in_b & jnp.take(grid.valid, flat)
+        idx = jnp.where(hit, flat, 0)
         mu = jnp.take(grid.means, idx.reshape(-1), axis=0).reshape(
             idx.shape + (3,)
         )
         ic = jnp.take(grid.inv_covs, idx.reshape(-1), axis=0).reshape(
             idx.shape + (3, 3)
         )
-        x = pts[:, None, :] - mu  # [N,27,3]
+        x = pts[:, None, :] - mu  # [N,k,3]
         within = jnp.sum(x * x, axis=-1) <= res * res  # radiusSearch(res)
         mask = (hit & within).astype(xyz.dtype) * w_src[:, None]
         return mu, ic, mask
@@ -264,7 +291,7 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         gathers — cheap to evaluate and to autodiff."""
         t = _pose_to_matrix(p)
         pts = xyz @ t[:3, :3].T + t[:3, 3]
-        x = pts[:, None, :] - mu  # [N,27,3]
+        x = pts[:, None, :] - mu  # [N,k,3]
         q = jnp.einsum(
             "nki,nkij,nkj->nk", x, ic, x,
             precision=jax.lax.Precision.HIGHEST,
