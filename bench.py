@@ -84,9 +84,10 @@ def main():
     scheme, result = run()
     log(f"warmup (incl. compile): {time.time()-t0:.2f}s")
 
-    # Timed steady-state runs
+    # Timed steady-state runs (min of several: the axon tunnel to the
+    # chip adds multi-hundred-ms jitter between invocations)
     times = []
-    for i in range(2):
+    for i in range(4):
         t0 = time.time()
         scheme, result = run()
         times.append(time.time() - t0)

@@ -57,10 +57,12 @@ def nearest_neighbors(
     n = src_xyz.shape[0]
     dtype = src_xyz.dtype
 
-    # Recentre on the valid-source centroid (see module docstring).
-    wsrc = src_valid.astype(dtype)
-    centroid = jnp.sum(src_xyz * wsrc[:, None], axis=0) / jnp.maximum(
-        jnp.sum(wsrc), 1.0
+    # Recentre on the valid-TARGET centroid (see module docstring; the
+    # target-only choice keeps the recentred target loop-invariant when
+    # this runs inside ICP's while_loop, so XLA hoists it).
+    wtgt = tgt_valid.astype(dtype)
+    centroid = jnp.sum(tgt_xyz * wtgt[:, None], axis=0) / jnp.maximum(
+        jnp.sum(wtgt), 1.0
     )
     s = src_xyz - centroid
     t = tgt_xyz - centroid

@@ -109,9 +109,15 @@ def nearest_neighbors_pallas(
     m = tgt_xyz.shape[0]
     dtype = src_xyz.dtype
 
-    wsrc = src_valid.astype(dtype)
-    centroid = jnp.sum(src_xyz * wsrc[:, None], axis=0) / jnp.maximum(
-        jnp.sum(wsrc), 1.0
+    # Recentre on the TARGET centroid: any nearby fixed point tames the
+    # f32 cancellation in ||t||^2 - 2 s.t (see ops/nn.py), and a
+    # target-only choice keeps the recentred/transposed target and its
+    # norms loop-invariant inside ICP's while_loop — XLA hoists them,
+    # instead of re-subtracting and re-laying-out the whole target
+    # buffer on every sweep (the source centroid changes per iteration).
+    wtgt = tgt_valid.astype(dtype)
+    centroid = jnp.sum(tgt_xyz * wtgt[:, None], axis=0) / jnp.maximum(
+        jnp.sum(wtgt), 1.0
     )
     s = src_xyz - centroid
     t = tgt_xyz - centroid

@@ -48,12 +48,29 @@ def compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return a @ b
 
 
+def rotate_points(rot: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
+    """``xyz @ rot^T`` as explicit per-component FMAs.
+
+    A [N,3]x[3,3] contraction on the MXU wastes 125/128 of the systolic
+    depth AND makes XLA carry bf16 shadow copies of the point array
+    through surrounding loops (the default-precision dot truncates
+    operands); three vector FMAs are exact f32 and keep everything on
+    the VPU with no extra layouts."""
+    c = [
+        xyz[..., 0] * rot[..., i, 0, None]
+        + xyz[..., 1] * rot[..., i, 1, None]
+        + xyz[..., 2] * rot[..., i, 2, None]
+        for i in range(3)
+    ]
+    return jnp.stack(c, axis=-1)
+
+
 def apply_transform(transform: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
     """Apply a 4x4 transform to ``[..., N, 3]`` points
     (pcl::transformPointCloud, SURVEY.md X9)."""
     rot = transform[..., :3, :3]
     t = transform[..., :3, 3]
-    return xyz @ jnp.swapaxes(rot, -1, -2) + t[..., None, :]
+    return rotate_points(rot, xyz) + t[..., None, :]
 
 
 def apply_transform_cloud(transform: jnp.ndarray, cloud: Cloud) -> Cloud:
@@ -66,7 +83,7 @@ def apply_transform_cloud(transform: jnp.ndarray, cloud: Cloud) -> Cloud:
         normal=(
             None
             if cloud.normal is None
-            else cloud.normal @ jnp.swapaxes(rot, -1, -2)
+            else rotate_points(rot, cloud.normal)
         ),
     )
 

@@ -275,6 +275,31 @@ def _prepare_full_down(oc: OrganizedCloud, edge_cfg, leaf, cap) -> Cloud:
     return voxel_downsample(flat, leaf, cap)
 
 
+@jax.jit
+def _assemble_global(originals, totals, converged):
+    """Global cloud from per-frame originals + composed transforms.
+
+    Kept OUT of the frame scan (the scan only needs the transforms): each
+    frame occupies a static slice of the output, so assembly is a batched
+    transform + concatenate — no scatter, no re-layout of the stacked
+    originals (stacking [n, 307200, 3] forced a ~1 s transposing copy)."""
+    eye = jnp.eye(4, dtype=totals.dtype)
+    all_t = jnp.concatenate([eye[None], totals], axis=0)
+    conv_all = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), converged], axis=0
+    )
+    moved = [
+        apply_transform_cloud(all_t[i], c) for i, c in enumerate(originals)
+    ]
+    return Cloud(
+        xyz=jnp.concatenate([m.xyz for m in moved], axis=0),
+        rgb=jnp.concatenate([m.rgb for m in moved], axis=0),
+        valid=jnp.concatenate(
+            [m.valid & conv_all[i] for i, m in enumerate(moved)], axis=0
+        ),
+    )
+
+
 def _where_tree(pred, a, b):
     """Element-wise ``jnp.where(pred, a, b)`` over matching pytrees
     (pred is a scalar bool; used as the converged-merge gate)."""
@@ -291,7 +316,6 @@ def _where_tree(pred, a, b):
         "leaf",
         "voxel_cap",
         "target_cap",
-        "global_cap",
         "refine_target_cap",
         "coarse_guard_cap",
         "refine_margin",
@@ -299,7 +323,6 @@ def _where_tree(pred, a, b):
 )
 def _chain_scan(
     edges_all,      # Cloud, leaves stacked [n, edge_cap, ...]
-    originals_all,  # Cloud, leaves stacked [n, orig_cap, ...]
     full_all,       # Cloud with normals stacked [n, full_cap, ...] or None
     guesses,        # f32[n-1, 4, 4]
     use_ndt: bool,
@@ -309,7 +332,6 @@ def _chain_scan(
     leaf: float,
     voxel_cap: int,
     target_cap: int,
-    global_cap: int,
     refine_target_cap: int,
     coarse_guard_cap: float,
     refine_margin: float = 0.75,
@@ -418,29 +440,9 @@ def _chain_scan(
         body, (target, grid, target_full), xs
     )
     coarse_s, fine_s, ref_s, totals = ys
-
-    # Global cloud assembled OUTSIDE the loop: the scan only needs the
-    # transforms, so the n_frames * orig_cap buffer is written once by a
-    # batched transform + reshape instead of a full-buffer scatter per
-    # frame (which accessed ~37 MB * n_frames^2 of HBM).
-    eye = jnp.eye(4, dtype=totals.dtype)
-    all_t = jnp.concatenate([eye[None], totals], axis=0)      # [n,4,4]
-    conv_all = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), fine_s.converged], axis=0
-    )
-    moved = jax.vmap(apply_transform_cloud)(all_t, originals_all)
-    n_frames, orig_cap = originals_all.valid.shape
-    global_cloud = Cloud(
-        xyz=moved.xyz.reshape(n_frames * orig_cap, 3),
-        rgb=moved.rgb.reshape(n_frames * orig_cap, 3),
-        valid=(moved.valid & conv_all[:, None]).reshape(
-            n_frames * orig_cap
-        ),
-    )
     return {
         "target": target,
         "target_full": target_full,
-        "global": global_cloud,
         "coarse": coarse_s,
         "fine": fine_s,
         "refine": ref_s,
@@ -605,7 +607,6 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
 
         out = _chain_scan(
             stack(edges),
-            stack(originals),
             stack(self._full_down) if refine_on else None,
             self._guesses(n),
             self.use_ndt_coarse,
@@ -615,7 +616,6 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             cfg.voxel.leaf_size,
             cfg.voxel.max_points,
             cfg.voxel.max_points * n,
-            sum(o.capacity for o in originals),
             cfg.refine.max_points * n,
             cfg.coarse_guard_cap,
             cfg.refine.accept_margin,
@@ -633,7 +633,9 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         self._dump_edges(
             [out["edges_down0"]] + list(edges[1:]), out["target"]
         )
-        return out["global"]
+        return _assemble_global(
+            originals, out["totals"], out["fine"].converged
+        )
 
     def _global_registration_loop(
         self, edges: List[Cloud], originals: List[Cloud]
