@@ -64,11 +64,16 @@ def main():
         # absorb the residual difference).
         ndt=NDTConfig(neighborhood=7),
         edge=EdgeConfig(max_edge_points=16384),
-        voxel=VoxelConfig(leaf_size=0.01, max_points=16384),
-        # Beyond-reference accuracy stage: full-cloud point-to-plane
-        # refinement (edge points are pixel-grid samples whose in-plane
-        # bias caps point-to-point accuracy at a few mm; see RefineConfig).
-        refine=RefineConfig(enabled=True),
+        voxel=VoxelConfig(leaf_size=0.01, max_points=10240),
+        # Beyond-reference accuracy stages: full-cloud point-to-plane
+        # refinement inside the chain plus drift-free anchoring of every
+        # frame against frame 0 (edge points are pixel-grid samples whose
+        # in-plane bias caps point-to-point accuracy at a few mm; see
+        # RefineConfig).
+        refine=RefineConfig(
+            enabled=True, leaf_size=0.05, max_points=8192,
+            chain=True, anchor_to_first=True,
+        ),
         # Never let the 1 m-resolution NDT stage worsen a good guess.
         coarse_guard_cap=0.1,
     )

@@ -40,16 +40,18 @@ _WALLS = (
     (2, ROOM, (80, 200, 200)),
 )
 
-# Axis-aligned boxes inside the room ((min xyz), (max xyz), base RGB).
-# They give every view genuine 3-D structure — a single flat wall leaves
-# point-to-point ICP slide-ambiguous, which is a property of the scene,
-# not the solver.
+# Axis-aligned boxes standing on the floor ((min xyz), (max xyz), base
+# RGB). They give every view genuine 3-D structure — a single flat wall
+# leaves point-to-point ICP slide-ambiguous — and their top faces plus
+# the visible floor supply the horizontal (y-normal) constraints a
+# point-to-plane solver needs (a scene with walls only is singular in
+# t_y, which is a property of the scene, not the solver).
 _BOXES = (
-    ((2.2, 2.2, 4.2), (2.9, 3.6, 4.9), (240, 160, 40)),
-    ((3.6, 2.0, 4.6), (4.3, 3.1, 5.3), (40, 160, 240)),
-    ((2.8, 3.4, 5.0), (3.5, 4.2, 5.7), (160, 240, 120)),
-    ((1.2, 2.6, 3.6), (1.7, 3.8, 4.1), (230, 90, 180)),
-    ((4.4, 3.2, 3.4), (5.0, 4.4, 3.9), (120, 120, 250)),
+    ((2.2, 0.0, 4.2), (2.9, 1.4, 4.9), (240, 160, 40)),
+    ((3.6, 0.0, 4.6), (4.3, 0.9, 5.3), (40, 160, 240)),
+    ((2.8, 0.0, 5.0), (3.5, 1.9, 5.7), (160, 240, 120)),
+    ((1.2, 0.0, 3.6), (1.7, 1.1, 4.1), (230, 90, 180)),
+    ((4.4, 0.0, 3.4), (5.0, 0.7, 3.9), (120, 120, 250)),
 )
 
 
@@ -109,7 +111,12 @@ def render_frame(pose_c2w: jnp.ndarray, intr: Intrinsics):
             consider(axis, mx[axis], base, bounds)
 
     depth_m = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
-    depth_z16 = jnp.clip(depth_m * 1000.0, 0, 65535).astype(jnp.uint16)
+    # round-to-nearest millimeter: a real sensor quantizes symmetrically;
+    # astype() truncation would bias every depth -0.5 mm toward the
+    # camera (a radial shrink that biases registration oracles)
+    depth_z16 = jnp.clip(jnp.round(depth_m * 1000.0), 0, 65535).astype(
+        jnp.uint16
+    )
     color = jnp.clip(best_col, 0, 255).astype(jnp.uint8)
     return depth_z16, color
 
@@ -133,7 +140,11 @@ class SyntheticSequence:
     def __post_init__(self):
         c = ROOM / 2.0
         base = np.eye(4, dtype=np.float32)
-        base[:3, 3] = [c, c, c]
+        # tripod-height camera: the floor (and the boxes' top faces)
+        # enter the field of view, as in any real indoor scan — a camera
+        # at mid-room height sees walls only, which leaves registration
+        # unconstrained in t_y for plane-based solvers
+        base[:3, 3] = [c, 1.2, c]
         self.poses = []
         for i in range(self.n_frames):
             ry = np.asarray(

@@ -45,6 +45,12 @@ class ICPConfig:
     # w *= min(1, delta / |r|). None = plain least squares. Mitigates the
     # bias from correspondences across depth discontinuities.
     huber_delta: float | None = None
+    # Point-to-point blend weight inside the point-to-plane solve
+    # (see ops/umeyama.plane_fit). 0 (default) = pure point-to-plane with
+    # eigenvalue-floored solves (unobserved directions stay put). A
+    # positive mix adds absolute point constraints but risks lattice
+    # aliasing between voxel-downsampled clouds.
+    point_plane_mix: float = 0.0
     # TPU execution knobs (no reference analog):
     target_chunk: int = 2048   # target tile size for the XLA NN sweep
     use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back
@@ -143,6 +149,44 @@ class RefineConfig:
     leaf_size: float = 0.04   # coarser than the edge voxel: surface
                               # sampling density, not feature density
     max_points: int = 8192    # per-frame capacity after downsampling
+    # In-chain refinement: refine each pair against the ACCUMULATED full
+    # surface inside the frame chain (improves the targets later frames
+    # align to, but its small per-pair bias accumulates as drift).
+    chain: bool = True
+    # Anchor refinement: after the chain, re-align every frame's full
+    # cloud DIRECTLY against frame 0's (batched over frames). Drift-free
+    # where the trajectory keeps overlap with the first frame; frames the
+    # acceptance gate rejects keep their chain transform. Beyond-reference
+    # accuracy stage.
+    anchor_to_first: bool = False
+    # Anchor stage schedule: starts are already chain-initialized (a few
+    # mm off), so no wide/loose stage — with partial overlap a wide
+    # correspondence cap matches across the non-overlap boundary and
+    # drags the pose toward a biased optimum.
+    anchor_stages: tuple = (
+        ICPConfig(
+            max_iterations=6,
+            max_correspondence_distance=0.1,
+            transformation_epsilon=1e-12,
+            euclidean_fitness_epsilon=1e-12,
+            mse_threshold_absolute=1e-16,
+            variant="point_to_plane",
+            huber_delta=0.005,
+            compute_fitness=False,
+            use_pallas=False,  # runs under vmap
+        ),
+        ICPConfig(
+            max_iterations=4,
+            max_correspondence_distance=0.03,
+            transformation_epsilon=1e-12,
+            euclidean_fitness_epsilon=1e-12,
+            mse_threshold_absolute=1e-16,
+            variant="point_to_plane",
+            huber_delta=0.002,
+            compute_fitness=False,
+            use_pallas=False,
+        ),
+    )
     # Acceptance margin: the refined transform is kept only if it improves
     # the capped NN score by this factor. A near-optimal input barely moves
     # the score (the refinement would only swap one ~mm-scale bias for

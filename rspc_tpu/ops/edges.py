@@ -59,6 +59,13 @@ LABEL_RGB_CANNY = 5
 _DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 
 
+def _shuffle_perm(n: int) -> jnp.ndarray:
+    """Fixed pseudo-random permutation of [0, n) (host-computed once per
+    size, baked into the compiled program as a constant)."""
+    rng = __import__("numpy").random.default_rng(0x5EED)
+    return jnp.asarray(rng.permutation(n).astype("int32"))
+
+
 def _first_valid_along(z, valid, dr, dc, max_steps):
     """For each pixel: depth of the first *valid* pixel at offset
     k*(dr,dc), k in [1, max_steps], and whether one exists.
@@ -204,12 +211,23 @@ def extract_edge_features(
     The returned cloud additionally carries the per-point surface normals
     the detector already computed for its high-curvature stage — free
     metadata that enables the point-to-plane fine-ICP variant downstream
-    (the reference discards the normal image after compute())."""
+    (the reference discards the normal image after compute()).
+
+    Edge pixels beyond ``max_edge_points`` are dropped in a STATICALLY
+    SHUFFLED pixel order (a fixed pseudo-random permutation baked into
+    the program): row-major truncation would amputate the bottom of the
+    image, which silently destroys registration overlap whenever a frame
+    saturates its capacity."""
     labels, normals = _organized_edges_with_normals(cloud, config)
     flat = cloud.flatten()
-    sel = (labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid
     hw = flat.capacity
+    perm = _shuffle_perm(hw)
+    take = lambda x: jnp.take(x, perm, axis=0)
+    sel = take((labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid)
     return compact(
-        Cloud(flat.xyz, flat.rgb, sel, normals.reshape(hw, 3)),
+        Cloud(
+            take(flat.xyz), take(flat.rgb), sel,
+            take(normals.reshape(hw, 3)),
+        ),
         capacity=config.max_edge_points,
     )

@@ -163,10 +163,17 @@ def plane_fit_moments(
 
 def plane_fit_from_moments(h: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """Solve the 6x6 point-to-plane normal equations; returns f32[4,4].
-    A trace-scaled ridge keeps rank-deficient sets (all normals parallel)
-    finite; such solves move only along observable directions."""
-    ridge = 1e-6 * jnp.trace(h) / 6.0 + 1e-12
-    x = jnp.linalg.solve(h + ridge * jnp.eye(6, dtype=h.dtype), -g)
+
+    Rank-deficiency handling: eigenvalues below ``1e-3 * lambda_max`` are
+    floored there before inverting. A normal set that never observes a
+    direction (e.g. a horizontal sweep that sees no floor/ceiling leaves
+    t_y unconstrained) then produces (near-)ZERO motion along it instead
+    of a noise-amplified slide — don't move along what you cannot see.
+    The well-observed directions keep their exact least-squares step."""
+    evals, evecs = jnp.linalg.eigh(h)
+    floor = 1e-3 * jnp.maximum(evals[-1], 1e-12)
+    evals_f = jnp.maximum(evals, floor)
+    x = -(evecs @ ((evecs.T @ g) / evals_f))
     x = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
     r = _rodrigues(x[:3])
     t = x[3:]
@@ -175,11 +182,48 @@ def plane_fit_from_moments(h: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=0)
 
 
+def _skew(v: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] -> [..., 3, 3] cross-product matrices."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def point_fit_moments(
+    src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray
+):
+    """Additive 6x6 normal-equation moments of the LINEARIZED
+    point-to-point problem (residual vector r = src - dst, Jacobian
+    [-[src]_x | I] in (omega, t)). Used to blend a point term into the
+    point-to-plane solve when the normal set under-constrains a
+    direction (see plane_fit)."""
+    w = weights.astype(src.dtype)
+    a = jnp.concatenate(
+        [-_skew(src), jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), src.shape + (3,))],
+        axis=-1,
+    )  # [N,3,6]
+    r = src - dst
+    aw = a * w[:, None, None]
+    h = jnp.einsum(
+        "nij,nik->jk", aw, a, precision=jax.lax.Precision.HIGHEST
+    )
+    g = jnp.einsum("nij,ni->j", aw, r)
+    return h, g
+
+
 def plane_fit(
     src: jnp.ndarray,
     dst: jnp.ndarray,
     normal: jnp.ndarray,
     weights: jnp.ndarray,
+    point_mix: float = 0.0,
 ) -> jnp.ndarray:
     """Least-squares rigid transform minimizing point-to-PLANE error
     ``sum w (n . (T src - dst))^2`` (PCL analog:
@@ -190,5 +234,31 @@ def plane_fit(
     option: pixel-grid edge sampling biases point-to-point ICP by up to
     ~z/fx per point *along the surface*, which the plane projection
     removes, and convergence is superlinear instead of ICP's linear
-    sliding."""
-    return plane_fit_from_moments(*plane_fit_moments(src, dst, normal, weights))
+    sliding.
+
+    Conditioning: lever arms are taken about the weighted source
+    CENTROID, which decouples the rotation and translation blocks of the
+    6x6 system — with scene-absolute coordinates a weakly-constrained
+    normal set (e.g. a view dominated by one wall) makes the solve
+    explode along its null directions. The solved motion is recomposed
+    as a world transform afterwards."""
+    w = weights.astype(src.dtype)
+    c = jnp.sum(src * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1e-12)
+    h, g = plane_fit_moments(src - c, dst - c, normal, weights)
+    if point_mix > 0.0:
+        # Blend in a point-to-point term: scenes whose visible normals
+        # span fewer than 3 directions (e.g. a horizontal sweep that
+        # never sees floor or ceiling) leave point-to-plane singular
+        # along the missing axis; the point term constrains it, and at
+        # small mix its in-plane sampling bias stays damped wherever the
+        # plane term already dominates.
+        hp, gp = point_fit_moments(src - c, dst - c, weights)
+        h = h + point_mix * hp
+        g = g + point_mix * gp
+    t_c = plane_fit_from_moments(h, g)
+    # x_new = R (x - c) + c + t'  =>  T = Trans(c) @ T' @ Trans(-c)
+    r = t_c[:3, :3]
+    t = t_c[:3, 3] + c - r @ c
+    top = jnp.concatenate([r, t[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], src.dtype)
+    return jnp.concatenate([top, bottom], axis=0)

@@ -13,8 +13,9 @@ semantics — exact voxel binning via sort + segment reduction — which is
 both deterministic and the better fit for a sort-friendly accelerator.
 
 Everything is static-shape: output capacity ``max_points`` with a validity
-mask; voxels beyond capacity are dropped deterministically (lowest keys
-kept — callers size capacity generously).
+mask; voxels beyond capacity are dropped deterministically as a spatially
+UNIFORM pseudo-random subset (hash-shuffled voxel order) — saturation
+degrades resolution evenly instead of amputating a region.
 """
 
 from __future__ import annotations
@@ -51,8 +52,20 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
     key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
     key = jnp.where(valid, key, jnp.int32(2**30))  # invalids sort last
 
+    # Sort voxels in HASH-SHUFFLED order (primary key = mixed bits,
+    # secondary = raw key for collision ties). Voxels beyond max_points
+    # are dropped; under raw-key order that amputates one spatially
+    # contiguous region (the lowest cells) — silently catastrophic for
+    # registration overlap when a cloud saturates its capacity. Hashed
+    # order makes overflow a spatially UNIFORM thinning instead.
+    h = key.astype(jnp.uint32)
+    h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
+    h = (h ^ (h >> 16)) & jnp.uint32(0x7FFFFFFF)
+    hkey = jnp.where(valid, h.astype(jnp.int32), jnp.int32(2**31 - 1))
+
     perm0 = jnp.arange(n, dtype=jnp.int32)
-    skey, perm = jax.lax.sort((key, perm0), num_keys=1)
+    _, skey, perm = jax.lax.sort((hkey, key, perm0), num_keys=2)
 
     xyz_s = jnp.take(xyz, perm, axis=0)
     rgb_s = jnp.take(rgb, perm, axis=0)

@@ -43,7 +43,25 @@ from rspc_tpu.cloud import Cloud
 from rspc_tpu.config import ICPConfig
 from rspc_tpu.ops.nn import nearest_neighbors
 from rspc_tpu.ops.transform import apply_transform
-from rspc_tpu.ops.umeyama import plane_fit, rigid_fit
+from rspc_tpu.ops.umeyama import _rodrigues, plane_fit, rigid_fit
+
+
+def _scale_increment(t_inc: jax.Array, s: jax.Array) -> jax.Array:
+    """Shrink a rigid increment toward identity by factor ``s`` in the
+    log map (rotation angle and translation scale linearly)."""
+    r = t_inc[:3, :3]
+    cos = jnp.clip(0.5 * (r[0, 0] + r[1, 1] + r[2, 2] - 1.0), -1.0, 1.0)
+    ang = jnp.arccos(cos)
+    sin = jnp.sin(ang)
+    skew = jnp.stack(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+    )
+    axis = skew / jnp.maximum(2.0 * sin, 1e-12)
+    omega = jnp.where(ang > 1e-7, s * ang * axis, jnp.zeros(3, t_inc.dtype))
+    r_s = _rodrigues(omega)
+    top = jnp.concatenate([r_s, (s * t_inc[:3, 3])[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], t_inc.dtype)
+    return jnp.concatenate([top, bottom], axis=0)
 
 # Convergence states, numerically matching pcl::registration::
 # DefaultConvergenceCriteria::ConvergenceState.
@@ -140,7 +158,7 @@ def icp_align(
         return ~done
 
     def body(st):
-        final_t, it, prev_mse, state, _ = st
+        final_t, it, prev_mse, state, prev_done = st
         src_t, d2, idx, w = correspondences(final_t)
         n_corr = jnp.sum(w)
         cur_mse = jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(n_corr, 1.0)
@@ -157,7 +175,39 @@ def icp_align(
                     1.0,
                     config.huber_delta / jnp.maximum(jnp.abs(r), 1e-12),
                 )
-            t_inc = plane_fit(src_t, tgt_m, tgt_n, w_fit)
+            t_inc = plane_fit(
+                src_t, tgt_m, tgt_n, w_fit,
+                point_mix=config.point_plane_mix,
+            )
+            # Trust region: correspondences were searched within
+            # max_correspondence_distance; an increment moving any point
+            # farther than ~2x that is extrapolating beyond the matches
+            # (it happens when the normal set under-constrains a
+            # direction). Scale the whole increment back into range.
+            ang = jnp.arccos(
+                jnp.clip(
+                    0.5 * (t_inc[0, 0] + t_inc[1, 1] + t_inc[2, 2] - 1.0),
+                    -1.0,
+                    1.0,
+                )
+            )
+            span = jnp.sqrt(
+                jnp.max(
+                    jnp.where(
+                        src.valid,
+                        jnp.sum((src_t - jnp.mean(src_t, axis=0)) ** 2, -1),
+                        0.0,
+                    )
+                )
+            )
+            move = ang * span + jnp.linalg.norm(t_inc[:3, 3])
+            limit = 2.0 * config.max_correspondence_distance
+            scale = jnp.minimum(1.0, limit / jnp.maximum(move, 1e-12))
+            t_inc = jnp.where(
+                scale < 1.0,
+                _scale_increment(t_inc, scale),
+                t_inc,
+            )
         else:
             t_inc = rigid_fit(src_t, tgt_m, w)
         new_final = t_inc @ final_t
@@ -191,6 +241,15 @@ def icp_align(
 
         # On a too-few abort PCL breaks before updating the transform.
         out_final = jnp.where(too_few, final_t, new_final)
+        # Under vmap, lax.while_loop keeps executing the body until ALL
+        # lanes finish; freeze lanes that already converged so their
+        # state stops evolving (no-op in the unbatched case — the loop
+        # exits as soon as done is set).
+        out_final = jnp.where(prev_done, final_t, out_final)
+        new_it = jnp.where(prev_done, it, new_it)
+        cur_mse = jnp.where(prev_done, prev_mse, cur_mse)
+        new_state = jnp.where(prev_done, state, new_state)
+        done = done | prev_done
         return (out_final, new_it, cur_mse, new_state, done)
 
     init = (guess, jnp.int32(0), big, jnp.int32(NOT_CONVERGED), jnp.bool_(False))

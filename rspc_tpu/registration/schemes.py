@@ -183,14 +183,18 @@ def _ndt_pair_step(
     return coarse, fine, fine_aligned
 
 
-def _capped_mean_sq(src: Cloud, tgt: Cloud, cap: float) -> jax.Array:
+def _capped_mean_sq(
+    src: Cloud, tgt: Cloud, cap: float, use_pallas: bool = True
+) -> jax.Array:
     """Mean of min(NN dist^2, cap^2) over valid source points — the
     monotone alignment score the acceptance/guard gates compare. Far /
-    unmatched points saturate at the cap instead of dominating."""
+    unmatched points saturate at the cap instead of dominating.
+    ``use_pallas=False`` forces the XLA sweep (needed under vmap: the
+    Pallas kernel's scalar-prefetch grid has no batching rule)."""
     from rspc_tpu.ops.nn import nearest_neighbors
 
     cap2 = cap * cap
-    if jax.default_backend() == "tpu":
+    if use_pallas and jax.default_backend() == "tpu":
         from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
 
         d2, _ = nearest_neighbors_pallas(src.xyz, src.valid, tgt.xyz, tgt.valid)
@@ -213,6 +217,19 @@ def _guard_transform(candidate_t, fallback_t, cloud: Cloud, tgt: Cloud, cap):
     return jnp.where(s_cand <= s_fall, candidate_t, fallback_t)
 
 
+def _run_stages(target_full: Cloud, src_t: Cloud, stages):
+    """Run the annealed point-to-plane stage schedule; returns
+    (last result, relative transform, final aligned cloud)."""
+    cur = src_t
+    rel = jnp.eye(4, dtype=src_t.xyz.dtype)
+    res = None
+    for stage_cfg in stages:
+        res = icp_align(cur, target_full, stage_cfg)
+        cur = apply_transform_cloud(res.transform, cur)
+        rel = res.transform @ rel
+    return res, rel, cur
+
+
 def _refine_step(target_full: Cloud, src_full: Cloud, base_t, stages, margin):
     """Full-cloud point-to-plane refinement (RefineConfig): run the
     annealed stage schedule against the accumulated full surface. The
@@ -221,19 +238,33 @@ def _refine_step(target_full: Cloud, src_full: Cloud, base_t, stages, margin):
     stages hand it a start outside the point-to-plane basin.
     Returns (last stage result, accepted bool, total_transform)."""
     src_t = apply_transform_cloud(base_t, src_full)
-    cur = src_t
-    rel = jnp.eye(4, dtype=src_full.xyz.dtype)
-    res = None
-    for stage_cfg in stages:
-        res = icp_align(cur, target_full, stage_cfg)
-        cur = apply_transform_cloud(res.transform, cur)
-        rel = res.transform @ rel
+    res, rel, cur = _run_stages(target_full, src_t, stages)
     cap = stages[-1].max_correspondence_distance * 2.0
-    before = _capped_mean_sq(src_t, target_full, cap)
-    after = _capped_mean_sq(cur, target_full, cap)
+    pallas_ok = stages[-1].use_pallas
+    before = _capped_mean_sq(src_t, target_full, cap, pallas_ok)
+    after = _capped_mean_sq(cur, target_full, cap, pallas_ok)
     accepted = after <= before * margin
     total = jnp.where(accepted, rel @ base_t, base_t)
     return res, accepted, total
+
+
+def _inlier_stats(src: Cloud, tgt: Cloud, radius: float, use_pallas: bool):
+    """(inlier count, inlier mean sq dist) within ``radius`` — the
+    overlap-aware gate metric for anchor refinement (a global capped
+    mean is saturation-dominated when src and tgt overlap partially)."""
+    from rspc_tpu.ops.nn import nearest_neighbors
+
+    if use_pallas and jax.default_backend() == "tpu":
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+
+        d2, _ = nearest_neighbors_pallas(src.xyz, src.valid, tgt.xyz, tgt.valid)
+    else:
+        d2, _ = nearest_neighbors(src.xyz, src.valid, tgt.xyz, tgt.valid)
+    inl = src.valid & jnp.isfinite(d2) & (d2 < radius * radius)
+    n = jnp.sum(inl.astype(src.xyz.dtype))
+    mean_sq = jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(n, 1.0)
+    mean_sq = jnp.where(n > 0, mean_sq, jnp.asarray(jnp.inf, src.xyz.dtype))
+    return n, mean_sq
 
 
 @partial(jax.jit, static_argnames=("stages", "margin"))
@@ -242,6 +273,36 @@ def _refine_pair_step(
 ):
     """Jitted wrapper of _refine_step for the Python-loop path."""
     return _refine_step(target_full, src_full, base_t, stages, margin)
+
+
+@partial(jax.jit, static_argnames=("stages", "margin", "gate_radius"))
+def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.03):
+    """Batched anchor refinement (RefineConfig.anchor_to_first): re-align
+    every frame's full cloud directly against FRAME 0's full cloud from
+    its chain transform. Eliminates chain drift wherever the trajectory
+    keeps overlap with the first frame; the per-frame acceptance gate
+    keeps the chain transform otherwise. One vmapped launch for all
+    frames (they are independent given the chain initialization).
+
+    Note: stages must have use_pallas=False — the Pallas NN kernel's
+    scalar-prefetch grid does not batch under vmap; the XLA sweep
+    becomes efficient batched matmuls here anyway."""
+
+    def one(src_full, base_t):
+        src_t = apply_transform_cloud(base_t, src_full)
+        res, rel, cur = _run_stages(anchor, src_t, stages)
+        # overlap-aware acceptance: refinement must roughly keep its
+        # matched points (5% slack — inliers churn across the radius
+        # boundary even for pure improvements) and must tighten them
+        # (margin is the rmse ratio bound)
+        radius = gate_radius
+        nb, rb = _inlier_stats(src_t, anchor, radius, False)
+        na, ra = _inlier_stats(cur, anchor, radius, False)
+        accepted = (na >= nb * 0.95) & (ra <= rb * margin)
+        total = jnp.where(accepted, rel @ base_t, base_t)
+        return total, accepted
+
+    return jax.vmap(one)(fulls, totals)
 
 
 @partial(jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "with_full"))
@@ -603,11 +664,12 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         cfg = self.config
         n = len(edges)
         refine_on = cfg.refine.enabled
+        chain_refine = refine_on and cfg.refine.chain
         stack = lambda lst: jax.tree.map(lambda *x: jnp.stack(x), *lst)
 
         out = _chain_scan(
             stack(edges),
-            stack(self._full_down) if refine_on else None,
+            stack(self._full_down) if chain_refine else None,
             self._guesses(n),
             self.use_ndt_coarse,
             cfg.ndt,
@@ -627,14 +689,25 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             for i in range(n - 1)
         ]
         self.refine_results = (
-            [pick(out["refine"], i) for i in range(n - 1)] if refine_on else []
+            [pick(out["refine"], i) for i in range(n - 1)]
+            if chain_refine
+            else []
         )
-        self.total_transforms = out["totals"]
+        totals = out["totals"]
+        if refine_on and cfg.refine.anchor_to_first and n >= 2:
+            totals, self.anchor_accepted = _anchor_refine(
+                self._full_down[0],
+                stack(self._full_down[1:]),
+                totals,
+                cfg.refine.anchor_stages,
+                1.0,  # inlier gate: monotone rmse bound
+            )
+        self.total_transforms = totals
         self._dump_edges(
             [out["edges_down0"]] + list(edges[1:]), out["target"]
         )
         return _assemble_global(
-            originals, out["totals"], out["fine"].converged
+            originals, totals, out["fine"].converged
         )
 
     def _global_registration_loop(
@@ -704,7 +777,22 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                     )
                 global_cloud = merge_append(global_cloud, transformed)
 
-        self.total_transforms = jnp.stack(totals) if totals else None
+        totals_arr = jnp.stack(totals) if totals else None
+        if (
+            refine_on
+            and cfg.refine.anchor_to_first
+            and totals_arr is not None
+        ):
+            totals_arr, self.anchor_accepted = _anchor_refine(
+                self._full_down[0],
+                jax.tree.map(
+                    lambda *x: jnp.stack(x), *self._full_down[1:]
+                ),
+                totals_arr,
+                cfg.refine.anchor_stages,
+                1.0,  # inlier gate: monotone rmse bound
+            )
+        self.total_transforms = totals_arr
 
         if self.saves_edge_pcds and self.dataset_dir is not None:
             from rspc_tpu.io.pcd import save_pcd
@@ -714,6 +802,12 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                 target,
                 keep_invalid=False,
             )
+        if refine_on and cfg.refine.anchor_to_first and totals_arr is not None:
+            # anchored transforms supersede the in-loop merges
+            conv = jnp.asarray(
+                [bool(f.converged) for _, f in self.results]
+            )
+            return _assemble_global(originals, totals_arr, conv)
         return global_cloud
 
 
