@@ -9,22 +9,24 @@ parameterized as ``p = (tx, ty, tz, roll, pitch, yaw)`` with
 ``T = Trans(t) @ Rx(roll) @ Ry(pitch) @ Rz(yaw)`` (PCL convertTransform).
 
 TPU-first design choices:
-  * The voxel Gaussian table is built with the same sort+segment-reduce
-    machinery as the voxel filter (no host round trips); covariances get
-    PCL's eigenvalue inflation (eigvals < 0.01 * lambda_max are raised)
-    via a batched 3x3 ``eigh``.
+  * The voxel Gaussian grid is DENSE and INCREMENTAL (see NDTGrid): one
+    scatter-add of corner-residual moments per added frame, no sorting,
+    with PCL's eigenvalue inflation (eigvals < 0.01 * lambda_max raised)
+    via the batched Jacobi 3x3 eigh in ops/eig3.py.
   * PCL's kd-tree radiusSearch over voxel means (radius = resolution)
-    becomes a 27-neighborhood lookup: a voxel mean within ``resolution``
-    of a point always lies in one of the 3^3 adjacent voxels, found by
-    binary search over packed sorted keys, then distance-filtered — an
-    exact, gather-friendly equivalent.
-  * Score gradient and Hessian come from **autodiff** (jax.grad /
-    jax.hessian of the scalar score in the 6 pose parameters) instead of
-    PCL's hand-derived point Jacobians — exact derivatives, one code path.
+    becomes a neighborhood lookup over the dense grid (cell index IS the
+    slot): 27 adjacent cells reproduce radiusSearch exactly;
+    ``NDTConfig.neighborhood`` also offers ndt_omp's DIRECT7/DIRECT1.
+  * Score gradient and Hessian are ANALYTIC and single-pass
+    (fixed_value_grad_hess): closed-form per-point derivatives in x'
+    chained through precomputed rotation-derivative tensors (Magnusson
+    2009 eq. 6.12-6.13 structure; verified against autodiff). The
+    rotation tensors themselves come from autodiff over the 3 angles —
+    constant-size, negligible.
   * Newton solve + More-Thuente line search run inside a
     ``lax.while_loop``; the line search reproduces PCL's
     sufficient-decrease (mu=1e-4) / curvature (nu=0.9) logic with
-    interval updating, bounded by ``step_size`` and 10 trial iterations.
+    interval updating, bounded by ``step_size`` and the trial cap.
 
 Gauss mixture coefficients follow PCL exactly:
   c1 = 10 (1 - outlier_ratio), c2 = outlier_ratio / res^3,

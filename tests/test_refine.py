@@ -1,0 +1,150 @@
+"""Tests for the beyond-reference accuracy machinery: sorted-segment
+reductions, batched 3x3 eigh, conditioning-hardened point-to-plane
+solves, uniform capacity thinning, and the refine/anchor stages."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from rspc_tpu.capture.synthetic import SyntheticSequence
+from rspc_tpu.cloud import Cloud
+from rspc_tpu.config import (
+    EdgeConfig,
+    ICPConfig,
+    NDTConfig,
+    PipelineConfig,
+    RefineConfig,
+    VoxelConfig,
+)
+from rspc_tpu.ops.deproject import Intrinsics
+from rspc_tpu.ops.eig3 import eigh3
+from rspc_tpu.ops.segment import sorted_segment_bounds, sorted_segment_sum
+from rspc_tpu.ops.umeyama import plane_fit
+from rspc_tpu.ops.voxel import voxel_downsample
+from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
+
+
+def test_eigh3_matches_numpy():
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(512, 3, 3)).astype(np.float32)
+    a = (m + m.transpose(0, 2, 1)) / 2
+    a[0] = np.eye(3)
+    a[1] = np.diag([2.0, 2.0, 5.0])  # repeated eigenvalue
+    a[2] = 0.0
+    w, v = eigh3(jnp.asarray(a))
+    w, v = np.asarray(w), np.asarray(v)
+    wr = np.linalg.eigvalsh(a.astype(np.float64))
+    assert np.abs(w - wr).max() < 1e-4
+    rec = np.einsum("bij,bj,bkj->bik", v, w, v)
+    assert np.abs(rec - a).max() < 1e-4
+    assert (np.diff(w, axis=1) >= -1e-5).all()
+
+
+def test_sorted_segment_sum_matches_numpy():
+    rng = np.random.default_rng(1)
+    seg = np.sort(rng.integers(0, 20, 200)).astype(np.int32)
+    vals = rng.normal(size=(200, 3)).astype(np.float32)
+    starts, ends = sorted_segment_bounds(jnp.asarray(seg), 20)
+    got = np.asarray(sorted_segment_sum(jnp.asarray(vals), starts, ends))
+    for j in range(20):
+        np.testing.assert_allclose(
+            got[j], vals[seg == j].sum(axis=0), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_voxel_overflow_thins_uniformly():
+    """Saturating max_points must keep a spatially spread subset, not
+    amputate one end of the cloud (overlap-destroying regression)."""
+    xs = np.linspace(0.005, 1.995, 200).astype(np.float32)  # 200 voxels @1cm
+    xyz = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], axis=1)
+    c = Cloud.from_numpy(xyz, valid=np.ones(200, bool))
+    out = voxel_downsample(c, 0.01, 100)  # half capacity
+    kept = np.asarray(out.xyz)[np.asarray(out.valid), 0]
+    assert len(kept) == 100
+    # both halves of the span must be well represented
+    lo = (kept < 1.0).sum()
+    assert 30 <= lo <= 70, f"biased thinning: {lo}/100 in the lower half"
+
+
+def test_plane_fit_unobserved_direction_stays_put():
+    """All normals +z: t_x/t_y are unobservable; the floored solve must
+    recover t_z while leaving the unobserved directions (near) zero."""
+    rng = np.random.default_rng(2)
+    src = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    src[:, 2] = 0.0
+    dst = src + np.float32([0.3, -0.2, 0.004])  # true shift incl z 4mm
+    nrm = np.tile(np.float32([0, 0, 1]), (500, 1))
+    t = np.asarray(
+        plane_fit(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(nrm),
+            jnp.ones(500),
+        )
+    )
+    assert abs(t[2, 3] - 0.004) < 1e-5     # observed direction solved
+    assert abs(t[0, 3]) < 1e-3             # unobserved: no wild slide
+    assert abs(t[1, 3]) < 1e-3
+    assert np.abs(t[:3, :3] - np.eye(3)).max() < 1e-3
+
+
+def _cfg(**kw):
+    return PipelineConfig(
+        icp=ICPConfig(target_chunk=512),
+        ndt=NDTConfig(dense_grid_dim=16),
+        edge=EdgeConfig(max_edge_points=2048),
+        voxel=VoxelConfig(leaf_size=0.02, max_points=2048),
+        coarse_guard_cap=0.1,
+        **kw,
+    )
+
+
+def test_refine_and_anchor_do_not_hurt():
+    """With refine+anchor on, registration must match or beat the plain
+    chain (the acceptance gates make both stages monotone non-harmful)."""
+    seq = SyntheticSequence(
+        n_frames=3, yaw_step=-0.06, intr=Intrinsics.simple(160, 120)
+    )
+    clouds = seq.clouds()
+
+    def run(refine):
+        s = NDTEdgeBasedRegistration(rads=seq.yaw_step, config=_cfg(refine=refine))
+        s.registration(clouds)
+        return max(
+            np.abs(np.asarray(s.total_transforms[i - 1]) - seq.gt_transform(i)).max()
+            for i in range(1, 3)
+        )
+
+    plain = run(RefineConfig(enabled=False))
+    refined = run(
+        RefineConfig(
+            enabled=True, leaf_size=0.06, max_points=2048,
+            chain=True, anchor_to_first=True,
+        )
+    )
+    assert refined <= plain * 1.25 + 1e-4, (plain, refined)
+
+
+def test_coarse_guard_never_worsens():
+    """A deliberately terrible static guess must not be rescued, but a
+    good guess must never be degraded below the guard's capped metric
+    (regression for NDT's 1 m-resolution optimum sitting cm off)."""
+    seq = SyntheticSequence(
+        n_frames=2, yaw_step=-0.06, intr=Intrinsics.simple(160, 120)
+    )
+    clouds = seq.clouds()
+    s = NDTEdgeBasedRegistration(rads=seq.yaw_step, config=_cfg())
+    s.registration(clouds)
+    coarse, _ = s.results[0]
+    err_guarded = np.abs(
+        np.asarray(coarse.transform) - seq.gt_transform(1)
+    ).max()
+    s2 = NDTEdgeBasedRegistration(
+        rads=seq.yaw_step,
+        config=dataclasses.replace(_cfg(), coarse_guard_cap=0.0),
+    )
+    s2.registration(clouds)
+    coarse2, _ = s2.results[0]
+    err_unguarded = np.abs(
+        np.asarray(coarse2.transform) - seq.gt_transform(1)
+    ).max()
+    assert err_guarded <= err_unguarded + 1e-6
