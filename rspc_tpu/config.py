@@ -165,7 +165,7 @@ class RefineConfig:
     # drags the pose toward a biased optimum.
     anchor_stages: tuple = (
         ICPConfig(
-            max_iterations=6,
+            max_iterations=4,
             max_correspondence_distance=0.1,
             transformation_epsilon=1e-12,
             euclidean_fitness_epsilon=1e-12,
@@ -176,7 +176,7 @@ class RefineConfig:
             use_pallas=False,  # runs under vmap
         ),
         ICPConfig(
-            max_iterations=4,
+            max_iterations=3,
             max_correspondence_distance=0.03,
             transformation_epsilon=1e-12,
             euclidean_fitness_epsilon=1e-12,

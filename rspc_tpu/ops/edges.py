@@ -59,11 +59,30 @@ LABEL_RGB_CANNY = 5
 _DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 
 
-def _shuffle_perm(n: int) -> jnp.ndarray:
-    """Fixed pseudo-random permutation of [0, n) (host-computed once per
-    size, baked into the compiled program as a constant)."""
-    rng = __import__("numpy").random.default_rng(0x5EED)
-    return jnp.asarray(rng.permutation(n).astype("int32"))
+_SHUFFLE_BLOCK = 128
+
+
+def _block_shuffle(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Shuffle the leading axis in fixed pseudo-random 128-element blocks
+    (host-computed permutation baked in as a constant). Block-level
+    shuffling keeps the gather contiguous — a per-pixel permutation of a
+    640x480 image cost ~12 ms/frame of random-access DMA — while still
+    spreading any capacity truncation uniformly across the image."""
+    import numpy as _np
+
+    nb = -(-n // _SHUFFLE_BLOCK)
+    rng = _np.random.default_rng(0x5EED)
+    perm_b = jnp.asarray(rng.permutation(nb).astype("int32"))
+    pad = nb * _SHUFFLE_BLOCK - n
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    xs = x.reshape((nb, _SHUFFLE_BLOCK) + x.shape[1:])
+    # NOTE: returns the padded length (nb*128): the pad elements are
+    # scattered by the shuffle, so they cannot be sliced off — callers
+    # must mask them invalid (the pad rows are zeros -> valid=False).
+    return jnp.take(xs, perm_b, axis=0).reshape(
+        (nb * _SHUFFLE_BLOCK,) + x.shape[1:]
+    )
 
 
 def _first_valid_along(z, valid, dr, dc, max_steps):
@@ -221,13 +240,12 @@ def extract_edge_features(
     labels, normals = _organized_edges_with_normals(cloud, config)
     flat = cloud.flatten()
     hw = flat.capacity
-    perm = _shuffle_perm(hw)
-    take = lambda x: jnp.take(x, perm, axis=0)
-    sel = take((labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid)
+    shuf = lambda x: _block_shuffle(x, hw)
+    sel = shuf((labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid)
     return compact(
         Cloud(
-            take(flat.xyz), take(flat.rgb), sel,
-            take(normals.reshape(hw, 3)),
+            shuf(flat.xyz), shuf(flat.rgb), sel,
+            shuf(normals.reshape(hw, 3)),
         ),
         capacity=config.max_edge_points,
     )

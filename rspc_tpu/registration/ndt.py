@@ -163,30 +163,54 @@ def _finalize(moments: jax.Array, origin: jax.Array, config: NDTConfig):
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
-def ndt_grid_add(
-    grid: NDTGrid, cloud: Cloud, config: NDTConfig = NDTConfig()
-) -> NDTGrid:
-    """Accumulate a cloud's points into the grid (additive voxel moments:
-    ONE scatter-add of per-point [count, r, r r^T] rows, no sort) and
-    re-finalize. Points outside the [D^3] span are dropped."""
+def ndt_grid_update_moments(
+    moments: jax.Array,
+    origin: jax.Array,
+    cloud: Cloud,
+    config: NDTConfig = NDTConfig(),
+    gate=None,
+) -> jax.Array:
+    """Accumulate a cloud's points into raw cell moments (additive: ONE
+    scatter-add of per-point [count, r, r r^T] rows, no sort). Points
+    outside the [D^3] span are dropped. ``gate`` (traced bool) folds a
+    merge/no-merge decision into the scatter (zeros added when False),
+    so scan carries stay in place."""
     res = config.resolution
     d = config.dense_grid_dim
     xyz, valid = cloud.xyz, cloud.valid
+    if gate is not None:
+        valid = valid & gate
     coords = jnp.floor(xyz / res).astype(jnp.int32)
-    rel = coords - grid.origin[None, :]
+    rel = coords - origin[None, :]
     in_b = valid & jnp.all((rel >= 0) & (rel < d), axis=-1)
     flat = jnp.where(in_b, (rel[:, 0] * d + rel[:, 1]) * d + rel[:, 2], d**3)
     r = xyz - coords.astype(xyz.dtype) * res  # corner residual in [0, res)
     rr = (r[:, :, None] * r[:, None, :]).reshape(-1, 9)
     upd = jnp.concatenate([jnp.ones_like(r[:, :1]), r, rr], axis=-1)
     upd = jnp.where(in_b[:, None], upd, 0.0)
-    moments = grid.moments.at[flat].add(upd, mode="drop")
-    means, inv_covs, ok = _finalize(moments, grid.origin, config)
+    return moments.at[flat].add(upd, mode="drop")
+
+
+def ndt_grid_from_moments(
+    moments: jax.Array, origin: jax.Array, config: NDTConfig = NDTConfig()
+) -> NDTGrid:
+    """Finalize raw cell moments into a queryable NDTGrid."""
+    means, inv_covs, ok = _finalize(moments, origin, config)
     return NDTGrid(
         moments=moments, means=means, inv_covs=inv_covs, valid=ok,
-        origin=grid.origin,
+        origin=origin,
     )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ndt_grid_add(
+    grid: NDTGrid, cloud: Cloud, config: NDTConfig = NDTConfig()
+) -> NDTGrid:
+    """Accumulate a cloud's points into the grid and re-finalize."""
+    moments = ndt_grid_update_moments(
+        grid.moments, grid.origin, cloud, config
+    )
+    return ndt_grid_from_moments(moments, grid.origin, config)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -61,21 +61,30 @@ from rspc_tpu.registration.icp import ICPResult, icp_align
 from rspc_tpu.registration.ndt import (
     build_ndt_grid,
     ndt_align,
-    ndt_grid_add,
+    ndt_grid_from_moments,
     ndt_grid_init,
     ndt_grid_origin,
+    ndt_grid_update_moments,
 )
 
 
 @jax.jit
-def merge_append(dst: Cloud, src: Cloud) -> Cloud:
+def merge_append(dst: Cloud, src: Cloud, gate=None) -> Cloud:
     """Append src's valid points into dst's free tail slots
     (PCL ``*dst = *dst + *src``, SURVEY.md X11) without reallocation.
-    Overflow beyond dst capacity is dropped."""
+    Overflow beyond dst capacity is dropped.
+
+    ``gate`` (optional traced bool): when False, nothing is appended —
+    the gate folds into the scatter indices, so inside a scan the
+    not-merged branch needs NO copy of dst (a scatter-then-select would
+    force XLA to materialize both versions of the buffers every
+    iteration)."""
     order = jnp.argsort(~src.valid, stable=True)
     sxyz = jnp.take(src.xyz, order, axis=0)
     srgb = jnp.take(src.rgb, order, axis=0)
     svalid = jnp.take(src.valid, order, axis=0)
+    if gate is not None:
+        svalid = svalid & gate
     start = dst.count()
     pos = start + jnp.arange(src.capacity, dtype=jnp.int32)
     pos = jnp.where(svalid, pos, dst.capacity)  # OOB -> dropped
@@ -430,13 +439,15 @@ def _chain_scan(
         # converged frame's aligned edges are scatter-added — voxel
         # moments are additive, so this equals rebuilding from the whole
         # accumulated target (which cost a 10x-larger sort per pair).
-        grid = ndt_grid_add(
-            ndt_grid_init(ndt_grid_origin(target0, ndt_cfg), ndt_cfg),
-            target0,
-            ndt_cfg,
+        # Only the raw moments ride in the carry; the derived Gaussians
+        # are (re)finalized inside the body.
+        origin = ndt_grid_origin(target0, ndt_cfg)
+        moments = ndt_grid_update_moments(
+            ndt_grid_init(origin, ndt_cfg).moments, origin, target0, ndt_cfg
         )
     else:
-        grid = ()
+        origin = ()
+        moments = ()
     if refine:
         target_full = merge_append(
             Cloud.empty(refine_target_cap, with_normal=True), first(full_all)
@@ -447,10 +458,11 @@ def _chain_scan(
     coarse_icp_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
 
     def body(carry, x):
-        target, grid, target_full = carry
+        target, moments, target_full = carry
         edge_i, full_i, guess = x
 
         if use_ndt:
+            grid = ndt_grid_from_moments(moments, origin, ndt_cfg)
             coarse = ndt_align(edge_i, grid, ndt_cfg, guess)
         else:
             coarse = icp_align(edge_i, target, coarse_icp_cfg, guess)
@@ -475,30 +487,28 @@ def _chain_scan(
 
         conv = fine.converged
         edge_total = apply_transform_cloud(total, edge_i)
-        target = _where_tree(
-            conv, merge_append(target, edge_total), target
-        )
+        # gates fold into the scatters: not-converged frames append
+        # nothing / add zero moments, keeping every carry in place
+        target = merge_append(target, edge_total, gate=conv)
         if use_ndt:
-            grid = _where_tree(
-                conv, ndt_grid_add(grid, edge_total, ndt_cfg), grid
+            moments = ndt_grid_update_moments(
+                moments, origin, edge_total, ndt_cfg, gate=conv
             )
         if refine:
-            target_full = _where_tree(
-                conv,
-                merge_append(
-                    target_full, apply_transform_cloud(total, full_i)
-                ),
+            target_full = merge_append(
                 target_full,
+                apply_transform_cloud(total, full_i),
+                gate=conv,
             )
-        return (target, grid, target_full), (coarse, fine, ref, total)
+        return (target, moments, target_full), (coarse, fine, ref, total)
 
     xs = (
         rest(edges_down),
         rest(full_all) if refine else (),  # () scans as an empty pytree
         guesses,
     )
-    (target, grid, target_full), ys = jax.lax.scan(
-        body, (target, grid, target_full), xs
+    (target, moments, target_full), ys = jax.lax.scan(
+        body, (target, moments, target_full), xs
     )
     coarse_s, fine_s, ref_s, totals = ys
     return {
