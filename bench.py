@@ -72,7 +72,10 @@ def main():
         # RefineConfig).
         refine=RefineConfig(
             enabled=True, leaf_size=0.05, max_points=8192,
-            chain=True, anchor_to_first=True,
+            # anchor-only: the drift-free per-frame anchoring subsumes the
+            # in-chain refinement (same accuracy, one fewer p2l stage per
+            # pair inside the scan)
+            chain=False, anchor_to_first=True,
         ),
         # Never let the 1 m-resolution NDT stage worsen a good guess.
         coarse_guard_cap=0.1,

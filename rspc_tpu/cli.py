@@ -180,6 +180,18 @@ no camera attaches to a TPU host; see rspc_tpu.capture.replay for the
 recording format."""
 
 
+def _stoi(s: str) -> int:
+    """C++ std::stoi semantics: parse the longest valid integer prefix
+    ("-4.58" -> -4, "12abc" -> 12); raise only when no digits lead
+    (matching the reference's argv parsing, src/main.cpp:196,215)."""
+    import re
+
+    m = re.match(r"[+-]?\d+", s.strip())
+    if not m:
+        raise ValueError(f"stoi: no conversion from {s!r}")
+    return int(m.group(0))
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     """Top-level error handling mirrors the reference's two catch blocks
     (rs2::error / std::exception printing to stderr and returning
@@ -203,7 +215,7 @@ def _dispatch(argv: Optional[List[str]] = None) -> int:
     opt = args[1]
 
     if opt == "--capture" and argc in (4, 5):
-        capture(args[2], int(args[3]), args[4] if argc == 5 else None)
+        capture(args[2], _stoi(args[3]), args[4] if argc == 5 else None)
         return 0
     if opt == "--edges" and argc == 3:
         edges(args[2])
@@ -211,20 +223,20 @@ def _dispatch(argv: Optional[List[str]] = None) -> int:
     if opt == "--registration" and argc == 4:
         from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
 
-        registration(args[2], NDTEdgeBasedRegistration(), int(args[3]))
+        registration(args[2], NDTEdgeBasedRegistration(), _stoi(args[3]))
         return 0
     if opt == "--registration" and argc == 5:
         from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
 
-        rotation_deg = int(args[3])
+        rotation_deg = _stoi(args[3])
         rads = (rotation_deg / 180.0) * np.pi  # main.cpp:215
-        registration(args[2], NDTEdgeBasedRegistration(rads=rads), int(args[4]))
+        registration(args[2], NDTEdgeBasedRegistration(rads=rads), _stoi(args[4]))
         return 0
     if opt == "--view" and argc == 3:
         viewer(args[2])
         return 0
     if opt == "--all" and argc in (4, 5):
-        capture_and_registration(int(args[2]), args[3], args[4] if argc == 5 else None)
+        capture_and_registration(_stoi(args[2]), args[3], args[4] if argc == 5 else None)
         return 0
 
     print(HELP)
