@@ -74,8 +74,23 @@ def main():
             enabled=True, leaf_size=0.05, max_points=8192,
             # anchor-only: the drift-free per-frame anchoring subsumes the
             # in-chain refinement (same accuracy, one fewer p2l stage per
-            # pair inside the scan)
+            # pair inside the scan); a single tight anchor stage suffices
+            # from chain-initialized starts
             chain=False, anchor_to_first=True,
+            anchor_stages=(
+                ICPConfig(
+                    max_iterations=5,
+                    max_correspondence_distance=0.06,
+                    transformation_epsilon=1e-12,
+                    euclidean_fitness_epsilon=1e-12,
+                    mse_threshold_absolute=1e-16,
+                    variant="point_to_plane",
+                    huber_delta=0.004,
+                    compute_fitness=False,
+                    use_pallas=False,
+                    target_chunk=8192,
+                ),
+            ),
         ),
         # Never let the 1 m-resolution NDT stage worsen a good guess.
         coarse_guard_cap=0.1,

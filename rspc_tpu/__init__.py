@@ -29,6 +29,19 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Geometry at millimeter scales cannot tolerate TPU's default matmul
+# precision: plain `a @ b` truncates f32 operands to bf16 on the MXU
+# (~0.4% relative), which injects several-1e-4 of error into every 4x4
+# transform composition, pose matrix product, and einsum that does not
+# request a precision explicitly — measured as a 2.5x accuracy loss on
+# the end-to-end registration benchmark. Hot kernels that genuinely
+# tolerate lower precision request it explicitly.
+# Opt out (e.g. for throughput experiments) with RSPC_BF16_MATMUL=1.
+if not _os.environ.get("RSPC_BF16_MATMUL"):
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "float32")
+
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache. Opt-in via RSPC_CACHE=1 (or call

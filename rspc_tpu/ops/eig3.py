@@ -12,6 +12,7 @@ Returns (eigenvalues ascending, eigenvectors as columns), matching the
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _PAIRS = ((0, 1), (0, 2), (1, 2))
@@ -40,10 +41,15 @@ def _rot(a, v, p: int, q: int):
     j = jnp.stack(
         [jnp.stack(r, axis=-1) for r in rows], axis=-2
     )  # [..., 3, 3]
-    a2 = jnp.swapaxes(j, -1, -2) @ a @ j
+    # explicit fast-path precision: the decomposition feeds eigenvalue
+    # INFLATION (a 1% floor) — sub-percent rotation noise is immaterial,
+    # and the package default of f32 matmuls would slow the 15 batched
+    # rotation products per grid finalize ~3x
+    fast = jax.lax.Precision.DEFAULT
+    a2 = jnp.einsum("...ji,...jk,...kl->...il", j, a, j, precision=fast)
     # re-symmetrize (rounding drift accumulates over sweeps)
     a2 = 0.5 * (a2 + jnp.swapaxes(a2, -1, -2))
-    return a2, v @ j
+    return a2, jnp.einsum("...ij,...jk->...ik", v, j, precision=fast)
 
 
 def eigh3(a: jnp.ndarray, sweeps: int = 5):

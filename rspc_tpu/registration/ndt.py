@@ -326,7 +326,14 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         t = _pose_to_matrix(p)
         pts = apply_transform(t, xyz)
         e = pts[:, None, :] - mu  # [N,k,3]
-        be = jnp.einsum("nkij,nkj->nki", ic, e)
+        # bf16 MXU precision is explicitly fine here: NDT is the COARSE
+        # stage (its optimum at 1 m resolution sits mm-cm off regardless)
+        # and the guard + fine ICP + refine stages absorb sub-percent
+        # score noise; the package-wide f32 default would triple the cost
+        # of the hottest [N,k,3,3] contraction in the Newton loop.
+        be = jnp.einsum(
+            "nkij,nkj->nki", ic, e, precision=jax.lax.Precision.DEFAULT
+        )
         q = jnp.sum(e * be, axis=-1)
         expt = jnp.exp(-0.5 * d2 * q) * mask  # [N,k]
         f = d1 * jnp.sum(expt)
@@ -345,11 +352,11 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         _, be, expt, f = _common(p, mu, ic, mask)
         w = d1 * d2 * expt  # [N,k]
         # df/dx' per point: -sum_k w * B e
-        g_pt = -jnp.einsum("nk,nki->ni", w, be)  # [N,3]
+        g_pt = -jnp.einsum("nk,nki->ni", w, be, precision=jax.lax.Precision.DEFAULT)  # [N,3]
         dr = jax.jacfwd(_rot_of)(p[3:6])  # [3,3,3angles]
-        dx = jnp.einsum("ija,nj->nia", dr, xyz)  # [N,3,3]
+        dx = jnp.einsum("ija,nj->nia", dr, xyz, precision=jax.lax.Precision.DEFAULT)  # [N,3,3]
         g_t = jnp.sum(g_pt, axis=0)
-        g_a = jnp.einsum("ni,nia->a", g_pt, dx)
+        g_a = jnp.einsum("ni,nia->a", g_pt, dx, precision=jax.lax.Precision.DEFAULT)
         return f, jnp.concatenate([g_t, g_a])
 
     def fixed_value_grad_hess(p, mu, ic, mask):
@@ -363,23 +370,26 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         g_pt = -jnp.einsum("nk,nki->ni", w, be)
         # d2f/dx'2 per point, k-summed: sum_k w (d2 (Be)(Be)^T - B)
         # d2f/de2, k-summed: d/de[-w Be] = d2 w (Be)(Be)^T - w B
-        h_pt = jnp.einsum("nk,nki,nkj->nij", d2 * w, be, be) - jnp.einsum(
-            "nk,nkij->nij", w, ic
+        h_pt = jnp.einsum(
+            "nk,nki,nkj->nij", d2 * w, be, be,
+            precision=jax.lax.Precision.DEFAULT,
+        ) - jnp.einsum(
+            "nk,nkij->nij", w, ic, precision=jax.lax.Precision.DEFAULT
         )
         ang = p[3:6]
         dr = jax.jacfwd(_rot_of)(ang)          # [3,3,3]
         ddr = jax.jacfwd(jax.jacfwd(_rot_of))(ang)  # [3,3,3,3]
-        dx = jnp.einsum("ija,nj->nia", dr, xyz)     # [N,3,3]
-        ddx = jnp.einsum("ijab,nj->niab", ddr, xyz)  # [N,3,3,3]
+        dx = jnp.einsum("ija,nj->nia", dr, xyz, precision=jax.lax.Precision.DEFAULT)     # [N,3,3]
+        ddx = jnp.einsum("ijab,nj->niab", ddr, xyz, precision=jax.lax.Precision.DEFAULT)  # [N,3,3,3]
 
         g_t = jnp.sum(g_pt, axis=0)
-        g_a = jnp.einsum("ni,nia->a", g_pt, dx)
+        g_a = jnp.einsum("ni,nia->a", g_pt, dx, precision=jax.lax.Precision.DEFAULT)
         grad = jnp.concatenate([g_t, g_a])
 
         htt = jnp.sum(h_pt, axis=0)                       # [3,3]
-        hta = jnp.einsum("nij,nja->ia", h_pt, dx)         # [3,3]
-        haa = jnp.einsum("nia,nij,njb->ab", dx, h_pt, dx)  # [3,3]
-        haa = haa + jnp.einsum("ni,niab->ab", g_pt, ddx)  # 2nd-order term
+        hta = jnp.einsum("nij,nja->ia", h_pt, dx, precision=jax.lax.Precision.DEFAULT)         # [3,3]
+        haa = jnp.einsum("nia,nij,njb->ab", dx, h_pt, dx, precision=jax.lax.Precision.DEFAULT)  # [3,3]
+        haa = haa + jnp.einsum("ni,niab->ab", g_pt, ddx, precision=jax.lax.Precision.DEFAULT)  # 2nd-order term
         top = jnp.concatenate([htt, hta], axis=1)
         bot = jnp.concatenate([hta.T, haa], axis=1)
         hess = jnp.concatenate([top, bot], axis=0)
