@@ -63,7 +63,9 @@ def main():
         # path for near-identical optima (the coarse guard + refine stage
         # absorb the residual difference).
         ndt=NDTConfig(neighborhood=7),
-        edge=EdgeConfig(max_edge_points=16384),
+        # only the RGB_CANNY class feeds registration (the reference
+        # computes all five but consumes one — PCL setEdgeType analog)
+        edge=EdgeConfig(max_edge_points=16384, edge_types=("rgb_canny",)),
         voxel=VoxelConfig(leaf_size=0.01, max_points=10240),
         # Beyond-reference accuracy stages: full-cloud point-to-plane
         # refinement inside the chain plus drift-free anchoring of every

@@ -113,6 +113,15 @@ class EdgeConfig:
     canny_high_threshold: float = 100.0
     hc_canny_low_threshold: float = 0.4
     hc_canny_high_threshold: float = 1.1
+    # Which label classes to compute (PCL setEdgeType bitmask analog).
+    # The reference enables all five (src/edge_extractor.hpp:21) but only
+    # consumes RGB_CANNY; restricting the set skips the corresponding
+    # image sweeps (the depth-discontinuity search alone is ~50 shifted
+    # passes per frame).
+    edge_types: tuple = (
+        "nan_boundary", "occluding", "occluded", "high_curvature",
+        "rgb_canny",
+    )
     # Static capacity of the compacted edge cloud (TPU knob):
     max_edge_points: int = 16384
 

@@ -176,31 +176,43 @@ def _organized_edges_with_normals(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Labels plus the normal image the high-curvature stage already
     computes (reused by extract_edge_features so edge clouds carry normals
-    at zero extra cost)."""
-    nan_b, occluding, occluded = _depth_edges(cloud, config)
-
-    normals, n_valid = estimate_normals(cloud, config)
-    hc = canny_from_gradients(
-        normals[..., 0],
-        normals[..., 1],
-        config.hc_canny_low_threshold,
-        config.hc_canny_high_threshold,
-        valid=n_valid,
-    )
-
-    intensity = jnp.mean(cloud.rgb, axis=-1)
-    rgb_edge = canny(
-        intensity, config.canny_low_threshold, config.canny_high_threshold
-    )
+    at zero extra cost). Classes absent from ``config.edge_types`` are
+    skipped entirely (PCL setEdgeType analog) — their image sweeps never
+    enter the program."""
+    types = frozenset(config.edge_types)
+    want_depth = types & {"nan_boundary", "occluding", "occluded"}
 
     labels = jnp.zeros(cloud.valid.shape, jnp.int32)
-    # base classes (within-base priority: occluded > occluding > nan)
-    labels = jnp.where(nan_b, LABEL_NAN_BOUNDARY, labels)
-    labels = jnp.where(occluding, LABEL_OCCLUDING, labels)
-    labels = jnp.where(occluded, LABEL_OCCLUDED, labels)
-    # later PCL stages overwrite earlier ones
-    labels = jnp.where(hc & cloud.valid, LABEL_HIGH_CURVATURE, labels)
-    labels = jnp.where(rgb_edge & cloud.valid, LABEL_RGB_CANNY, labels)
+    if want_depth:
+        nan_b, occluding, occluded = _depth_edges(cloud, config)
+        # base classes (within-base priority: occluded > occluding > nan)
+        if "nan_boundary" in types:
+            labels = jnp.where(nan_b, LABEL_NAN_BOUNDARY, labels)
+        if "occluding" in types:
+            labels = jnp.where(occluding, LABEL_OCCLUDING, labels)
+        if "occluded" in types:
+            labels = jnp.where(occluded, LABEL_OCCLUDED, labels)
+
+    # normals are computed regardless: the edge cloud carries them for
+    # the point-to-plane stages even when HIGH_CURVATURE is disabled
+    normals, n_valid = estimate_normals(cloud, config)
+    if "high_curvature" in types:
+        hc = canny_from_gradients(
+            normals[..., 0],
+            normals[..., 1],
+            config.hc_canny_low_threshold,
+            config.hc_canny_high_threshold,
+            valid=n_valid,
+        )
+        # later PCL stages overwrite earlier ones
+        labels = jnp.where(hc & cloud.valid, LABEL_HIGH_CURVATURE, labels)
+
+    if "rgb_canny" in types:
+        intensity = jnp.mean(cloud.rgb, axis=-1)
+        rgb_edge = canny(
+            intensity, config.canny_low_threshold, config.canny_high_threshold
+        )
+        labels = jnp.where(rgb_edge & cloud.valid, LABEL_RGB_CANNY, labels)
     return labels, normals
 
 
