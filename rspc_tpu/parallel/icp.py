@@ -27,7 +27,12 @@ from rspc_tpu.cloud import Cloud
 from rspc_tpu.config import ICPConfig
 from rspc_tpu.ops.nn import nearest_neighbors
 from rspc_tpu.ops.transform import apply_transform
-from rspc_tpu.ops.umeyama import fit_moments, rigid_fit_from_moments
+from rspc_tpu.ops.umeyama import (
+    fit_moments,
+    plane_fit_from_moments,
+    plane_fit_moments,
+    rigid_fit_from_moments,
+)
 from rspc_tpu.registration.icp import (
     ABS_MSE,
     ICPResult,
@@ -49,9 +54,12 @@ def _local_icp(config: ICPConfig, axis: str):
     mse_abs = config.mse_threshold_absolute
     mse_rel = config.euclidean_fitness_epsilon
 
-    def local(sxyz, svalid, txyz, tvalid, guess_rep):
+    p2l = config.variant == "point_to_plane"
+
+    def local(sxyz, svalid, txyz, tvalid, tnrm, guess_rep):
         dtype = sxyz.dtype
-        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        # see registration/icp.py: f32-max reciprocal is subnormal on TPU
+        big = jnp.asarray(1e18, dtype)
 
         def correspondences(final_t):
             src_t = apply_transform(final_t, sxyz)
@@ -66,17 +74,51 @@ def _local_icp(config: ICPConfig, axis: str):
             src_t, d2, idx, w = correspondences(final_t)
             tgt_m = jnp.take(txyz, idx, axis=0)
 
-            sw, ss, sd, m = fit_moments(src_t, tgt_m, w)
             mse_sum = jnp.sum(jnp.where(w > 0, d2, 0.0))
-            # one fused psum over ICI: 17 scalars
-            sw, ss, sd, m, mse_sum = jax.lax.psum(
-                (sw, ss, sd, m, mse_sum), axis
-            )
-            n_corr = sw
+            if p2l:
+                tgt_n = jnp.take(tnrm, idx, axis=0)
+                w_fit = w
+                if config.huber_delta is not None:
+                    r_res = jnp.sum((src_t - tgt_m) * tgt_n, axis=-1)
+                    w_fit = w * jnp.minimum(
+                        1.0,
+                        config.huber_delta
+                        / jnp.maximum(jnp.abs(r_res), 1e-12),
+                    )
+                # global weighted centroid for the conditioning shift
+                # (one 4-scalar psum), then additive 6x6 moments (one
+                # 43-scalar psum) — both pure-latency collectives
+                swl = jnp.sum(w_fit)
+                scl = jnp.sum(src_t * w_fit[:, None], axis=0)
+                sw_c, sc = jax.lax.psum((swl, scl), axis)
+                c = sc / jnp.maximum(sw_c, 1e-12)
+                h6, g6 = plane_fit_moments(
+                    src_t - c, tgt_m - c, tgt_n, w_fit
+                )
+                n_local = jnp.sum(w)
+                h6, g6, n_corr, mse_sum = jax.lax.psum(
+                    (h6, g6, n_local, mse_sum), axis
+                )
+                t_c = plane_fit_from_moments(h6, g6)
+                rot = t_c[:3, :3]
+                tr = t_c[:3, 3] + c - rot @ c
+                t_inc = jnp.concatenate(
+                    [
+                        jnp.concatenate([rot, tr[:, None]], axis=1),
+                        jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype),
+                    ],
+                    axis=0,
+                )
+            else:
+                sw, ss, sd, m = fit_moments(src_t, tgt_m, w)
+                # one fused psum over ICI: 17 scalars
+                sw, ss, sd, m, mse_sum = jax.lax.psum(
+                    (sw, ss, sd, m, mse_sum), axis
+                )
+                n_corr = sw
+                t_inc = rigid_fit_from_moments(sw, ss, sd, m)
             cur_mse = mse_sum / jnp.maximum(n_corr, 1.0)
             too_few = n_corr < config.min_number_correspondences
-
-            t_inc = rigid_fit_from_moments(sw, ss, sd, m)
             new_final = t_inc @ final_t
             new_it = it + 1
 
@@ -173,15 +215,20 @@ def sharded_icp_align(
     guess = (
         jnp.eye(4, dtype=dtype) if init_guess is None else init_guess.astype(dtype)
     )
+    if config.variant == "point_to_plane" and tgt.normal is None:
+        raise ValueError("point_to_plane needs a target cloud with normals")
+    tnrm = (
+        tgt.normal if tgt.normal is not None else jnp.zeros_like(tgt.xyz)
+    )
     rep = P()
     fn = jax.shard_map(
         _local_icp(config, axis),
         mesh=mesh,
-        in_specs=(P(axis), P(axis), rep, rep, rep),
+        in_specs=(P(axis), P(axis), rep, rep, rep, rep),
         out_specs=_rep_result(rep),
         check_vma=False,
     )
-    return fn(src.xyz, src.valid, tgt.xyz, tgt.valid, guess)
+    return fn(src.xyz, src.valid, tgt.xyz, tgt.valid, tnrm, guess)
 
 
 def batched_sharded_icp_align(
@@ -199,15 +246,20 @@ def batched_sharded_icp_align(
     moments over ICI). src/tgt carry a leading batch dim [B, N, ...];
     guesses is [B, 4, 4]. This is the 'training step' analog the
     multi-chip dry run exercises (__graft_entry__.dryrun_multichip)."""
+    if config.variant == "point_to_plane" and tgt.normal is None:
+        raise ValueError("point_to_plane needs a target cloud with normals")
+    tnrm = (
+        tgt.normal if tgt.normal is not None else jnp.zeros_like(tgt.xyz)
+    )
     local = _local_icp(config, points_axis)
-    batched = jax.vmap(local, in_axes=(0, 0, 0, 0, 0))
+    batched = jax.vmap(local, in_axes=(0, 0, 0, 0, 0, 0))
     dp = P(data_axis)
     dsp = P(data_axis, points_axis)
     fn = jax.shard_map(
         batched,
         mesh=mesh,
-        in_specs=(dsp, dsp, dp, dp, dp),
+        in_specs=(dsp, dsp, dp, dp, dp, dp),
         out_specs=_rep_result(dp),
         check_vma=False,
     )
-    return fn(src.xyz, src.valid, tgt.xyz, tgt.valid, guesses)
+    return fn(src.xyz, src.valid, tgt.xyz, tgt.valid, tnrm, guesses)

@@ -89,3 +89,54 @@ def test_sharded_icp_2d_mesh_axis():
     np.testing.assert_allclose(
         np.asarray(res.transform), np.eye(4), atol=1e-5
     )
+
+
+def test_sharded_point_to_plane_matches_single_chip():
+    """The sharded p2l solve (centroid psum + 6x6 moment psum) must match
+    the single-chip icp_align point_to_plane path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rspc_tpu.cloud import Cloud
+    from rspc_tpu.config import ICPConfig
+    from rspc_tpu.parallel.icp import sharded_icp_align
+    from rspc_tpu.registration.icp import icp_align
+
+    rng = np.random.default_rng(11)
+    n = 512
+    pts = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    axis = rng.integers(0, 3, n)
+    side = rng.integers(0, 2, n)
+    pts[np.arange(n), axis] = side - 0.5
+    nrm = np.zeros((n, 3), np.float32)
+    nrm[np.arange(n), axis] = np.where(side == 1, 1.0, -1.0)
+    c, s = np.cos(0.03), np.sin(0.03)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    src_pts = pts @ rot.T + np.float32([0.01, -0.02, 0.005])
+
+    src = Cloud.from_numpy(src_pts)
+    tgt = Cloud(
+        jnp.asarray(pts), jnp.zeros((n, 3)), jnp.ones(n, bool),
+        normal=jnp.asarray(nrm),
+    )
+    cfg = ICPConfig(
+        max_iterations=10,
+        max_correspondence_distance=0.2,
+        transformation_epsilon=1e-12,
+        euclidean_fitness_epsilon=1e-12,
+        mse_threshold_absolute=1e-16,
+        variant="point_to_plane",
+        huber_delta=0.01,
+        target_chunk=128,
+        use_pallas=False,
+    )
+    single = icp_align(src, tgt, cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("points",))
+    sharded = sharded_icp_align(src, tgt, mesh, cfg)
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform), np.asarray(single.transform),
+        atol=2e-5,
+    )
+    assert bool(sharded.converged)
