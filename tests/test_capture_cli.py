@@ -1,0 +1,75 @@
+"""Replay-source round-trip and the CLI's --all path end to end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rspc_tpu.capture.replay import ReplaySource, get_clouds
+from rspc_tpu.capture.synthetic import SyntheticSequence
+from rspc_tpu.config import CaptureConfig
+from rspc_tpu.ops.deproject import Intrinsics
+
+INTR = Intrinsics.simple(80, 60)
+
+
+def _recording(tmp_path, n=3, yaw=-0.07):
+    seq = SyntheticSequence(n_frames=n, yaw_step=yaw, intr=INTR)
+    depths, colors = [], []
+    for d, c in seq.frames():
+        depths.append(np.asarray(d))
+        colors.append(np.asarray(c))
+    stream, snap = seq.imu_stream()
+    ts = np.asarray(stream.ts)[snap]
+    gyro = np.asarray(stream.data)[snap - 1]
+    accel = np.asarray(stream.data)[snap]
+    path = str(tmp_path / "rec.npz")
+    ReplaySource.save(
+        path, np.stack(depths), np.stack(colors), ts, gyro, accel, INTR
+    )
+    return path, seq
+
+
+def test_replay_roundtrip_and_capture(tmp_path):
+    path, seq = _recording(tmp_path)
+    src = ReplaySource(path)
+    cfg = CaptureConfig(center_crop=False, bgr_color=False)
+    clouds, thetas = get_clouds(src, 3, cfg)
+    assert len(clouds) == 3 and len(thetas) == 3
+    # the replayed IMU stream must reproduce the trajectory's yaw deltas
+    dy = np.asarray(thetas)[:, 1] - np.asarray(thetas)[0, 1]
+    np.testing.assert_allclose(dy, -np.arange(3) * seq.yaw_step, atol=1e-3)
+    # cloud geometry: valid points, plausible depth range
+    c0 = clouds[0]
+    assert int(c0.count()) > 0.5 * c0.height * c0.width
+    z = np.asarray(c0.xyz)[..., 2][np.asarray(c0.valid)]
+    assert 0.0 < z.min() and z.max() < 11.0
+
+
+def test_cli_all_with_replay_source(tmp_path, monkeypatch):
+    """--all N FILE SOURCE: live-capture + ICP-edge registration with IMU
+    thetas (the reference's flagship path, main.cpp:117-134), driven from
+    a replay recording."""
+    from rspc_tpu import cli
+
+    path, _ = _recording(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["rspc", "--all", "3", "out", path])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "dataset" / "out.pcd")
+    # side outputs of the ICP edge scheme
+    assert os.path.exists(tmp_path / "dataset" / "edge-0.pcd")
+    assert os.path.exists(tmp_path / "dataset" / "edge_cloud.pcd")
+
+
+def test_cli_stoi_prefix_parsing(tmp_path, monkeypatch):
+    """std::stoi parity: '--registration pre -4.58 2' parses -4 degrees
+    instead of raising (main.cpp:215 uses stoi)."""
+    from rspc_tpu import cli
+
+    path, _ = _recording(tmp_path, n=2)
+    monkeypatch.chdir(tmp_path)
+    assert cli.main(["rspc", "--capture", "pre", "2", path]) == 0
+    rc = cli.main(["rspc", "--registration", "pre", "-4.58", "2"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "dataset" / "pre-registration")
