@@ -2,54 +2,36 @@
 
 ``jnp.linalg.eigh`` on TPU lowers to a custom call plus an eigenvalue
 sort; inside a large compiled program (the NDT grid finalize runs it on
-[D^3, 3, 3] covariances every frame) those cost ~10 ms per call. Five
-cyclic Jacobi sweeps are pure elementwise arithmetic + tiny batched
-matmuls — branch-free, fusible, and exact to f32 precision for 3x3.
+[D^3, 3, 3] covariances every frame) those cost ~10 ms per call.
+
+The Jacobi sweeps here are SCALARIZED: the symmetric matrix is held as
+its 6 independent components and the eigenvector basis as 9 component
+vectors, and each Givens rotation is the closed-form update of those
+components — pure elementwise arithmetic, no [.., 3, 3] matmuls (which
+XLA would route through the MXU with layout copies and precision
+conversions; the matmul formulation cost >100 fused [D^3,3,3] ops per
+compiled NDT finalize).
 
 Returns (eigenvalues ascending, eigenvectors as columns), matching the
-``jnp.linalg.eigh`` convention.
+``jnp.linalg.eigh`` convention. Exact to f32 precision in 5 sweeps.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _PAIRS = ((0, 1), (0, 2), (1, 2))
 
 
-def _rot(a, v, p: int, q: int):
-    """One batched Jacobi rotation zeroing A[p, q]."""
-    apq = a[..., p, q]
-    app = a[..., p, p]
-    aqq = a[..., q, q]
+def _givens(app, aqq, apq):
+    """Jacobi rotation (c, s) zeroing the (p, q) entry."""
     small = jnp.abs(apq) < 1e-30
     tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
     t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
     t = jnp.where(tau == 0.0, 1.0, t)  # tau==0 -> 45 deg
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
-    c = jnp.where(small, 1.0, c)
-    s = jnp.where(small, 0.0, s)
-
-    zero = jnp.zeros_like(c)
-    one = jnp.ones_like(c)
-    rows = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
-    rows[p][p], rows[q][q] = c, c
-    rows[p][q] = s
-    rows[q][p] = -s
-    j = jnp.stack(
-        [jnp.stack(r, axis=-1) for r in rows], axis=-2
-    )  # [..., 3, 3]
-    # explicit fast-path precision: the decomposition feeds eigenvalue
-    # INFLATION (a 1% floor) — sub-percent rotation noise is immaterial,
-    # and the package default of f32 matmuls would slow the 15 batched
-    # rotation products per grid finalize ~3x
-    fast = jax.lax.Precision.DEFAULT
-    a2 = jnp.einsum("...ji,...jk,...kl->...il", j, a, j, precision=fast)
-    # re-symmetrize (rounding drift accumulates over sweeps)
-    a2 = 0.5 * (a2 + jnp.swapaxes(a2, -1, -2))
-    return a2, jnp.einsum("...ij,...jk->...ik", v, j, precision=fast)
+    return jnp.where(small, 1.0, c), jnp.where(small, 0.0, s)
 
 
 def eigh3(a: jnp.ndarray, sweeps: int = 5):
@@ -57,11 +39,45 @@ def eigh3(a: jnp.ndarray, sweeps: int = 5):
 
     Returns (w [..., 3] ascending, v [..., 3, 3] with v[..., :, i] the
     eigenvector for w[..., i])."""
-    v = jnp.broadcast_to(jnp.eye(3, dtype=a.dtype), a.shape)
+    # unpack the 6 independent components and the 9 basis components
+    d = [a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]]  # diagonal
+    o = {  # off-diagonal, keyed by sorted index pair
+        (0, 1): a[..., 0, 1],
+        (0, 2): a[..., 0, 2],
+        (1, 2): a[..., 1, 2],
+    }
+    one = jnp.ones_like(d[0])
+    zero = jnp.zeros_like(d[0])
+    v = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+
+    def off(i, j):
+        return o[(i, j) if i < j else (j, i)]
+
+    def set_off(i, j, val):
+        o[(i, j) if i < j else (j, i)] = val
+
     for _ in range(sweeps):
         for p, q in _PAIRS:
-            a, v = _rot(a, v, p, q)
-    w = jnp.stack([a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]], axis=-1)
+            r = 3 - p - q  # the remaining index
+            apq = off(p, q)
+            c, s = _givens(d[p], d[q], apq)
+            cc, ss, cs = c * c, s * s, c * s
+            app, aqq = d[p], d[q]
+            d[p] = cc * app - 2.0 * cs * apq + ss * aqq
+            d[q] = ss * app + 2.0 * cs * apq + cc * aqq
+            set_off(p, q, zero)
+            arp, arq = off(r, p), off(r, q)
+            set_off(r, p, c * arp - s * arq)
+            set_off(r, q, s * arp + c * arq)
+            for i in range(3):
+                vip, viq = v[i][p], v[i][q]
+                v[i][p] = c * vip - s * viq
+                v[i][q] = s * vip + c * viq
+
+    w = jnp.stack(d, axis=-1)
+    vm = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in v], axis=-2
+    )  # [..., 3(row i), 3(col j)]
 
     # ascending 3-sort (compare-swap network), carrying eigenvector columns
     def swap(w, v, i, j):
@@ -78,7 +94,7 @@ def eigh3(a: jnp.ndarray, sweeps: int = 5):
         vcols[i], vcols[j] = new_vi, new_vj
         return jnp.stack(cols, axis=-1), jnp.stack(vcols, axis=-1)
 
-    w, v = swap(w, v, 0, 1)
-    w, v = swap(w, v, 1, 2)
-    w, v = swap(w, v, 0, 1)
-    return w, v
+    w, vm = swap(w, vm, 0, 1)
+    w, vm = swap(w, vm, 1, 2)
+    w, vm = swap(w, vm, 0, 1)
+    return w, vm
