@@ -73,7 +73,7 @@ def main():
         # in-plane bias caps point-to-point accuracy at a few mm; see
         # RefineConfig).
         refine=RefineConfig(
-            enabled=True, leaf_size=0.05, max_points=8192,
+            enabled=True, leaf_size=0.04, max_points=10240,
             # anchor-only: the drift-free per-frame anchoring subsumes the
             # in-chain refinement (same accuracy, one fewer p2l stage per
             # pair inside the scan); a single tight anchor stage suffices
@@ -81,16 +81,16 @@ def main():
             chain=False, anchor_to_first=True,
             anchor_stages=(
                 ICPConfig(
-                    max_iterations=5,
-                    max_correspondence_distance=0.06,
+                    max_iterations=6,
+                    max_correspondence_distance=0.05,
                     transformation_epsilon=1e-12,
                     euclidean_fitness_epsilon=1e-12,
                     mse_threshold_absolute=1e-16,
                     variant="point_to_plane",
-                    huber_delta=0.004,
+                    huber_delta=0.003,
                     compute_fitness=False,
                     use_pallas=False,
-                    target_chunk=8192,
+                    target_chunk=16384,
                 ),
             ),
         ),
