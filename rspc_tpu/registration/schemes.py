@@ -14,13 +14,14 @@ Mirrors the Strategy / template-method design of src/types.hpp:14-44:
                                       src/ndt_edge_based_registration.hpp)
 
 TPU-first structure: the sequential per-frame chain (each pair depends on
-the accumulated target, SURVEY.md §3.1) stays a Python loop, but every
-iteration calls ONE jitted pair-step of fixed shapes — the target and
-global clouds live in fixed-capacity HBM buffers that grow only by mask,
-so the whole N-frame registration compiles exactly once and never
-reallocates. Host sync per frame is a single ``converged`` flag read
-(mirroring the reference's per-frame convergence gate,
-icp_edge_based_registration.hpp:113-123).
+the accumulated target, SURVEY.md §3.1) compiles to ONE ``lax.scan``
+program (``_chain_scan``) — the target buffers and the incremental NDT
+moment grid ride the carry as fixed-capacity HBM arrays that grow only by
+mask, the per-frame convergence gate folds into the merge scatters, and
+the global cloud is assembled afterwards by a batched transform +
+concatenate. A semantically identical per-frame Python loop remains
+available (``PipelineConfig.use_scan=False``); both honor the reference's
+convergence gating (icp_edge_based_registration.hpp:113-123).
 
 Reference quirks reproduced deliberately (SURVEY.md §7):
   * the stored feature cloud of frame 0 is voxel-downsampled in place, so
@@ -368,12 +369,6 @@ def _assemble_global(originals, totals, converged):
             [m.valid & conv_all[i] for i, m in enumerate(moved)], axis=0
         ),
     )
-
-
-def _where_tree(pred, a, b):
-    """Element-wise ``jnp.where(pred, a, b)`` over matching pytrees
-    (pred is a scalar bool; used as the converged-merge gate)."""
-    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
 @partial(
