@@ -257,7 +257,7 @@ def _matrix_to_pose(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([t[:3, 3], jnp.stack([a, b, c])])
 
 
-def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
+def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None):
     """Returns f(p) = -score(p): minimized by Newton. One [N,k] gather +
     quadratic-form + exp sweep, fully fused."""
     d1, d2 = _gauss_coeffs(config)
@@ -337,6 +337,8 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         q = jnp.sum(e * be, axis=-1)
         expt = jnp.exp(-0.5 * d2 * q) * mask  # [N,k]
         f = d1 * jnp.sum(expt)
+        if psum_axis is not None:
+            f = jax.lax.psum(f, psum_axis)
         return e, be, expt, f
 
     def fixed_objective(p, mu, ic, mask):
@@ -357,7 +359,10 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         dx = jnp.einsum("ija,nj->nia", dr, xyz, precision=jax.lax.Precision.DEFAULT)  # [N,3,3]
         g_t = jnp.sum(g_pt, axis=0)
         g_a = jnp.einsum("ni,nia->a", g_pt, dx, precision=jax.lax.Precision.DEFAULT)
-        return f, jnp.concatenate([g_t, g_a])
+        g = jnp.concatenate([g_t, g_a])
+        if psum_axis is not None:
+            g = jax.lax.psum(g, psum_axis)
+        return f, g
 
     def fixed_value_grad_hess(p, mu, ic, mask):
         """(f, grad[6], hess[6,6]) in one pass (Magnusson 2009 eq. 6.12-
@@ -393,6 +398,10 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig):
         top = jnp.concatenate([htt, hta], axis=1)
         bot = jnp.concatenate([hta.T, haa], axis=1)
         hess = jnp.concatenate([top, bot], axis=0)
+        if psum_axis is not None:
+            # one fused 43-scalar collective: grad + hessian are additive
+            # over the sharded source points (f was already summed)
+            grad, hess = jax.lax.psum((grad, hess), psum_axis)
         return f, grad, hess
 
     def objective(p):
@@ -464,12 +473,13 @@ def _more_thuente(vg, p, direction, phi0, g0, step_init, step_max, config: NDTCo
     return a_result, direction
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "psum_axis"))
 def ndt_align(
     src: Cloud,
     grid: NDTGrid,
     config: NDTConfig = NDTConfig(),
     init_guess: jax.Array | None = None,
+    psum_axis=None,
 ) -> NDTResult:
     """Align ``src`` onto the NDT grid (PCL ndt.align(output, guess)).
 
@@ -486,7 +496,7 @@ def ndt_align(
         fixed_objective,
         fixed_value_grad,
         fixed_value_grad_hess,
-    ) = _make_objective(src, grid, config)
+    ) = _make_objective(src, grid, config, psum_axis)
 
     p0 = _matrix_to_pose(guess)
 
@@ -525,7 +535,10 @@ def ndt_align(
     )
 
     score = -objective(p_fin)
-    n = jnp.maximum(jnp.sum(src.valid.astype(dtype)), 1.0)
+    n = jnp.sum(src.valid.astype(dtype))
+    if psum_axis is not None:
+        n = jax.lax.psum(n, psum_axis)
+    n = jnp.maximum(n, 1.0)
     return NDTResult(
         transform=_pose_to_matrix(p_fin),
         converged=jnp.bool_(True),

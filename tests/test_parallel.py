@@ -140,3 +140,36 @@ def test_sharded_point_to_plane_matches_single_chip():
         atol=2e-5,
     )
     assert bool(sharded.converged)
+
+
+def test_sharded_ndt_matches_single_chip():
+    """Sharded NDT (43-scalar psum per Newton step) must reproduce the
+    single-chip ndt_align transform."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rspc_tpu.cloud import Cloud
+    from rspc_tpu.config import NDTConfig
+    from rspc_tpu.parallel.ndt import sharded_ndt_align
+    from rspc_tpu.registration.ndt import build_ndt_grid, ndt_align
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 4, (1024, 3)).astype(np.float32)
+    c, s = np.cos(0.05), np.sin(0.05)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    src_pts = pts @ rot.T + np.float32([0.02, 0.0, -0.01])
+
+    tgt = Cloud.from_numpy(pts)
+    src = Cloud.from_numpy(src_pts)
+    cfg = NDTConfig(dense_grid_dim=16, transformation_epsilon=1e-4)
+    grid = build_ndt_grid(tgt, cfg)
+
+    single = ndt_align(src, grid, cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("points",))
+    sharded = sharded_ndt_align(src, grid, mesh, cfg)
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform), np.asarray(single.transform),
+        atol=3e-5,
+    )
+    assert int(sharded.iterations) == int(single.iterations)
