@@ -51,6 +51,7 @@ from rspc_tpu.config import PipelineConfig
 from rspc_tpu.ops.edges import extract_edge_features
 from rspc_tpu.ops.normals import estimate_normals
 from rspc_tpu.ops.transform import (
+    apply_transform,
     apply_transform_cloud,
     imu_guess_full,
     imu_guess_y,
@@ -291,28 +292,106 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
     every frame's full cloud directly against FRAME 0's full cloud from
     its chain transform. Eliminates chain drift wherever the trajectory
     keeps overlap with the first frame; the per-frame acceptance gate
-    keeps the chain transform otherwise. One vmapped launch for all
-    frames (they are independent given the chain initialization).
+    keeps the chain transform otherwise.
 
-    Note: stages must have use_pallas=False — the Pallas NN kernel's
-    scalar-prefetch grid does not batch under vmap; the XLA sweep
-    becomes efficient batched matmuls here anyway."""
+    All frames share ONE anchor target, so each iteration flattens the
+    [B, N] sources into a single NN sweep (one Pallas launch on TPU)
+    instead of vmapping per-frame aligns — a vmapped XLA sweep either
+    scans chunks per lane or materializes a [B, N, M] score tensor.
+    Stages run exactly ``max_iterations`` steps each (their epsilons are
+    tight by construction; PCL's convergence criteria would not fire).
+    """
+    from rspc_tpu.ops.umeyama import plane_fit
+    from rspc_tpu.registration.icp import _scale_increment
 
-    def one(src_full, base_t):
-        src_t = apply_transform_cloud(base_t, src_full)
-        res, rel, cur = _run_stages(anchor, src_t, stages)
-        # overlap-aware acceptance: refinement must roughly keep its
-        # matched points (5% slack — inliers churn across the radius
-        # boundary even for pure improvements) and must tighten them
-        # (margin is the rmse ratio bound)
-        radius = gate_radius
-        nb, rb = _inlier_stats(src_t, anchor, radius, False)
-        na, ra = _inlier_stats(cur, anchor, radius, False)
-        accepted = (na >= nb * 0.95) & (ra <= rb * margin)
-        total = jnp.where(accepted, rel @ base_t, base_t)
-        return total, accepted
+    b, n_pts = fulls.valid.shape
+    dtype = fulls.xyz.dtype
 
-    return jax.vmap(one)(fulls, totals)
+    def nn_flat(xyz_flat):
+        from rspc_tpu.ops.nn import nearest_neighbors
+
+        flat_valid = fulls.valid.reshape(b * n_pts)
+        if jax.default_backend() == "tpu":
+            from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+
+            return nearest_neighbors_pallas(
+                xyz_flat, flat_valid, anchor.xyz, anchor.valid
+            )
+        return nearest_neighbors(
+            xyz_flat, flat_valid, anchor.xyz, anchor.valid, chunk=2048
+        )
+
+    src0 = jax.vmap(apply_transform_cloud)(totals, fulls)  # [B,N,...]
+
+    def inlier_stats(xyz_b):
+        d2, _ = nn_flat(xyz_b.reshape(b * n_pts, 3))
+        d2 = d2.reshape(b, n_pts)
+        inl = fulls.valid & jnp.isfinite(d2) & (d2 < gate_radius**2)
+        cnt = jnp.sum(inl.astype(dtype), axis=1)
+        msq = jnp.sum(jnp.where(inl, d2, 0.0), axis=1) / jnp.maximum(cnt, 1.0)
+        msq = jnp.where(cnt > 0, msq, jnp.asarray(jnp.inf, dtype))
+        return cnt, msq
+
+    rel = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (b, 4, 4))
+    cur = src0.xyz
+    for stage_cfg in stages:
+        mcd2 = stage_cfg.max_correspondence_distance**2
+        for _ in range(stage_cfg.max_iterations):
+            d2, idx = nn_flat(cur.reshape(b * n_pts, 3))
+            d2 = d2.reshape(b, n_pts)
+            idx = idx.reshape(b, n_pts)
+            w = (
+                (d2 <= mcd2) & fulls.valid & jnp.isfinite(d2)
+            ).astype(dtype)
+            q = jnp.take(anchor.xyz, idx.reshape(-1), axis=0).reshape(
+                b, n_pts, 3
+            )
+            nrm = jnp.take(anchor.normal, idx.reshape(-1), axis=0).reshape(
+                b, n_pts, 3
+            )
+            if stage_cfg.huber_delta is not None:
+                r = jnp.sum((cur - q) * nrm, axis=-1)
+                w = w * jnp.minimum(
+                    1.0,
+                    stage_cfg.huber_delta / jnp.maximum(jnp.abs(r), 1e-12),
+                )
+            t_inc = jax.vmap(plane_fit)(cur, q, nrm, w)
+            # per-lane trust region (see registration/icp.py)
+            def clip_one(t, c_xyz, c_valid):
+                ang = jnp.arccos(
+                    jnp.clip(
+                        0.5 * (t[0, 0] + t[1, 1] + t[2, 2] - 1.0), -1.0, 1.0
+                    )
+                )
+                span = jnp.sqrt(
+                    jnp.max(
+                        jnp.where(
+                            c_valid,
+                            jnp.sum(
+                                (c_xyz - jnp.mean(c_xyz, axis=0)) ** 2, -1
+                            ),
+                            0.0,
+                        )
+                    )
+                )
+                move = ang * span + jnp.linalg.norm(t[:3, 3])
+                limit = 2.0 * stage_cfg.max_correspondence_distance
+                sc = jnp.minimum(1.0, limit / jnp.maximum(move, 1e-12))
+                return jnp.where(sc < 1.0, _scale_increment(t, sc), t)
+
+            t_inc = jax.vmap(clip_one)(t_inc, cur, fulls.valid)
+            rel = jnp.einsum("bij,bjk->bik", t_inc, rel)
+            cur = jax.vmap(apply_transform)(t_inc, cur)
+
+    # overlap-aware acceptance: refinement must roughly keep its matched
+    # points (5% slack — inliers churn across the radius boundary even
+    # for pure improvements) and must tighten them (margin = rmse bound)
+    nb, rb = inlier_stats(src0.xyz)
+    na, ra = inlier_stats(cur)
+    accepted = (na >= nb * 0.95) & (ra <= rb * margin)
+    refined = jnp.einsum("bij,bjk->bik", rel, totals)
+    total = jnp.where(accepted[:, None, None], refined, totals)
+    return total, accepted
 
 
 @partial(jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "with_full"))
