@@ -63,6 +63,11 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.rspc_kdtree_free.restype = None
     lib.rspc_kdtree_free.argtypes = [ctypes.c_void_p]
+    lib.rspc_load_dataset.restype = ctypes.c_int64
+    lib.rspc_load_dataset.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -128,3 +133,34 @@ class KDTree:
         if getattr(self, "_handle", None):
             self._lib.rspc_kdtree_free(self._handle)
             self._handle = None
+
+
+def load_dataset(paths, capacity: int):
+    """Threaded native load of PCD files with the standard x/y/z/rgb
+    float layout into padded [n, capacity] host arrays.
+
+    Returns ``(xyz f32[n,cap,3], rgb f32[n,cap,3], valid bool[n,cap],
+    counts i64[n])`` or None when the native library is unavailable.
+    ``counts[i] == -1`` marks a file the fast path could not parse — the
+    caller loads that one through the general Python reader."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    xyz = np.empty((n, capacity, 3), np.float32)
+    rgb = np.empty((n, capacity, 3), np.float32)
+    valid = np.zeros((n, capacity), np.uint8)
+    counts = np.zeros((n,), np.int64)
+    arr = (ctypes.c_char_p * n)(
+        *[os.fsencode(os.fspath(p)) for p in paths]
+    )
+    lib.rspc_load_dataset(
+        arr, n, capacity,
+        xyz.ctypes.data_as(ctypes.c_void_p),
+        rgb.ctypes.data_as(ctypes.c_void_p),
+        valid.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    return xyz, rgb, valid.astype(bool), counts

@@ -91,3 +91,69 @@ def test_kdtree_validates_tpu_nn(lib_available):
     )
     np.testing.assert_array_equal(np.asarray(idx), idx_o)
     np.testing.assert_allclose(np.asarray(d2), d2_o, rtol=1e-4, atol=1e-7)
+
+
+def test_native_threaded_dataset_loader_matches_python(tmp_path):
+    """native/loader.cpp must reproduce the Python reader on all three
+    DATA modes, organized and unorganized, including invalid points."""
+    import numpy as np
+
+    from rspc_tpu.cloud import Cloud, OrganizedCloud
+    from rspc_tpu.io import native
+    from rspc_tpu.io.dataset import load_dataset_clouds, dataset_path
+    from rspc_tpu.io.pcd import load_pcd, save_pcd
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    h, w = 12, 16
+    modes = ["ascii", "binary", "binary_compressed"]
+    ddir = tmp_path / "dataset"
+    ddir.mkdir()
+    for i, mode in enumerate(modes):
+        xyz = rng.uniform(-2, 2, (h, w, 3)).astype(np.float32)
+        rgb = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+        xyz[0, 0] = np.nan  # invalid point
+        xyz[3, 3, 2] = 0.0  # z == 0 -> invalid
+        oc = OrganizedCloud.from_numpy(xyz, rgb)
+        save_pcd(str(ddir / f"mix-{i}.pcd"), oc, mode=mode)
+
+    clouds = load_dataset_clouds("mix", 3, str(ddir))
+    for i in range(3):
+        ref = load_pcd(dataset_path("mix", i, str(ddir)))
+        got = clouds[i]
+        assert isinstance(got, OrganizedCloud) and got.height == h
+        np.testing.assert_array_equal(
+            np.asarray(got.valid), np.asarray(ref.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.xyz), np.asarray(ref.xyz), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.rgb), np.asarray(ref.rgb), atol=0.5
+        )
+
+
+def test_native_loader_falls_back_on_foreign_layout(tmp_path):
+    """A file the fast path cannot parse (the reference's own sample with
+    a different field layout) must come through the Python reader."""
+    import shutil
+
+    import numpy as np
+
+    from rspc_tpu.io.dataset import load_dataset_clouds
+    from rspc_tpu.io.pcd import load_pcd, save_pcd
+    from rspc_tpu.capture.synthetic import SyntheticSequence  # noqa: F401
+
+    ddir = tmp_path / "dataset"
+    ddir.mkdir()
+    src = "/root/reference/examples/visualizer/example.pcd"
+    shutil.copy(src, ddir / "ref-0.pcd")
+    clouds = load_dataset_clouds("ref", 1, str(ddir))
+    ref = load_pcd(src)
+    np.testing.assert_allclose(
+        np.asarray(clouds[0].xyz), np.asarray(ref.xyz), atol=1e-6
+    )
