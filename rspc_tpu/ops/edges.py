@@ -252,12 +252,20 @@ def extract_edge_features(
     labels, normals = _organized_edges_with_normals(cloud, config)
     flat = cloud.flatten()
     hw = flat.capacity
-    shuf = lambda x: _block_shuffle(x, hw)
-    sel = shuf((labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid)
+    sel = (labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid
+    # one packed payload -> ONE shuffle gather instead of four (the bool
+    # column gathers alone cost ~3 ms/frame in byte-packed tiles)
+    payload = jnp.concatenate(
+        [
+            flat.xyz,
+            flat.rgb,
+            normals.reshape(hw, 3),
+            sel[:, None].astype(flat.xyz.dtype),
+        ],
+        axis=-1,
+    )
+    sh = _block_shuffle(payload, hw)
     return compact(
-        Cloud(
-            shuf(flat.xyz), shuf(flat.rgb), sel,
-            shuf(normals.reshape(hw, 3)),
-        ),
+        Cloud(sh[:, 0:3], sh[:, 3:6], sh[:, 9] > 0.5, sh[:, 6:9]),
         capacity=config.max_edge_points,
     )

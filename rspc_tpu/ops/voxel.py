@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from rspc_tpu.cloud import Cloud
-from rspc_tpu.ops.segment import sorted_segment_bounds
 
 
 def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
@@ -80,11 +79,11 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
     slot_of_point = jnp.zeros((n,), jnp.int32).at[perm].set(seg_id)
     slot_of_point = jnp.where(valid, slot_of_point, max_points)  # dropped
 
-    # f32 accuracy: sums accumulate RESIDUALS against each point's voxel
-    # corner (|r| < leaf); the corner is added back to the mean.
-    corner_pt = coords.astype(xyz.dtype) * jnp.asarray(leaf_size, xyz.dtype)
-    resid = xyz - corner_pt
-    cols = [jnp.ones((n, 1), xyz.dtype), resid, rgb]
+    # f32 accuracy note: each voxel's sum spans only its own few points
+    # (tens at most), so direct summation of absolute coordinates is
+    # exact to ~1e-6 of the mean — no prefix-sum cancellation to guard
+    # against (unlike the earlier cumsum-based reduction).
+    cols = [jnp.ones((n, 1), xyz.dtype), xyz, rgb]
     if cloud.normal is not None:
         cols.append(cloud.normal)
     upd = jnp.concatenate(cols, axis=-1)
@@ -95,24 +94,8 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
 
     counts = acc[:, 0]
     denom = jnp.maximum(counts, 1.0)[:, None]
-    # per-slot corner from the sorted keys at each segment's first row
-    starts, _ = sorted_segment_bounds(
-        jnp.where(jnp.take(valid, perm), seg_id, jnp.int32(2**30)),
-        max_points,
-    )
-    key_slot = jnp.take(skey, jnp.minimum(starts, n - 1))
-    corner_slot = (
-        jnp.stack(
-            [(key_slot >> 20) & 0x3FF, (key_slot >> 10) & 0x3FF, key_slot & 0x3FF],
-            axis=-1,
-        ).astype(xyz.dtype)
-        + cmin.astype(xyz.dtype)[None, :]
-    ) * jnp.asarray(leaf_size, xyz.dtype)
-
     out_valid = counts > 0
-    out_xyz = jnp.where(
-        out_valid[:, None], corner_slot + acc[:, 1:4] / denom, 0.0
-    )
+    out_xyz = jnp.where(out_valid[:, None], acc[:, 1:4] / denom, 0.0)
     out_rgb = acc[:, 4:7] / denom
     out_nrm = None
     if cloud.normal is not None:
