@@ -82,10 +82,7 @@ class NDTConfig:
     # faces (ndt_omp's DIRECT7 — ~4x fewer gathers in the hot path for
     # near-identical optima); 1 = containing cell only (DIRECT1).
     neighborhood: int = 27
-    # Static capacity for the target voxel table (legacy TPU knob; the
-    # dense incremental grid is bounded by dense_grid_dim instead):
-    max_voxels: int = 4096
-    # Dense voxel-slot lookup grid dimension (TPU knob): cells per axis,
+    # Dense voxel grid dimension (TPU knob): cells per axis,
     # spanning dense_grid_dim * resolution meters from the occupied
     # bounding box's min corner. One gather replaces a binary search in
     # the hot score/derivative path.

@@ -65,7 +65,7 @@ def test_grid_statistics():
     a = rng.normal(0, 0.1, (20, 3)).astype(np.float32) + [0.5, 0.5, 0.5]
     b = rng.normal(0, 0.1, (3, 3)).astype(np.float32) + [5.5, 0.5, 0.5]
     cloud = Cloud.from_numpy(np.concatenate([a, b]))
-    cfg = NDTConfig(max_voxels=64)
+    cfg = NDTConfig(dense_grid_dim=16)
     grid = build_ndt_grid(cloud, cfg)
     valid = np.asarray(grid.valid)
     assert valid.sum() == 1  # only the 20-point voxel qualifies
@@ -82,7 +82,7 @@ def test_ndt_recovers_small_transform():
     r = np.asarray(rotation_matrix(jnp.float32(0.05), 1))
     t = np.array([0.08, -0.04, 0.06], np.float32)
     moved = (pts @ r.T + t).astype(np.float32)
-    cfg = NDTConfig(max_voxels=512)
+    cfg = NDTConfig(dense_grid_dim=16)
     grid = build_ndt_grid(Cloud.from_numpy(moved), cfg)
     res = ndt_align(Cloud.from_numpy(pts), grid, cfg)
     assert bool(res.converged)
@@ -97,7 +97,7 @@ def test_ndt_with_guess_handles_large_rotation():
     rads = -0.5
     r = np.asarray(rotation_matrix(jnp.float32(rads), 1))
     moved = (pts @ r.T).astype(np.float32)
-    cfg = NDTConfig(max_voxels=512)
+    cfg = NDTConfig(dense_grid_dim=16)
     grid = build_ndt_grid(Cloud.from_numpy(moved), cfg)
     guess = make_rigid(rotation_matrix(jnp.float32(rads), 1))
     res = ndt_align(Cloud.from_numpy(pts), grid, cfg, init_guess=guess)
@@ -108,7 +108,7 @@ def test_ndt_with_guess_handles_large_rotation():
 
 def test_ndt_identity_stays_identity():
     pts = _scene(seed=3)
-    cfg = NDTConfig(max_voxels=512)
+    cfg = NDTConfig(dense_grid_dim=16)
     grid = build_ndt_grid(Cloud.from_numpy(pts), cfg)
     res = ndt_align(Cloud.from_numpy(pts), grid, cfg)
     T = np.asarray(res.transform)

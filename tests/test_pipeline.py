@@ -33,7 +33,7 @@ def _small_config(**kw):
             max_correspondence_distance=0.25,
             target_chunk=512,
         ),
-        ndt=NDTConfig(max_voxels=1024),
+        ndt=NDTConfig(dense_grid_dim=16),
         edge=EdgeConfig(max_edge_points=2048),
         voxel=VoxelConfig(leaf_size=0.05, max_points=2048),
         **kw,
