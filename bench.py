@@ -74,6 +74,10 @@ def main():
         # RefineConfig).
         refine=RefineConfig(
             enabled=True, leaf_size=0.04, max_points=10240,
+            # 2x2 pixel decimation before the 4 cm voxel means: a voxel
+            # spans >10 px/axis at these depths, so the means keep dozens
+            # of samples each while the downsample traffic drops 4x.
+            decimate=2,
             # anchor-only: the drift-free per-frame anchoring subsumes the
             # in-chain refinement (same accuracy, one fewer p2l stage per
             # pair inside the scan); a single tight anchor stage suffices

@@ -155,6 +155,12 @@ class RefineConfig:
     leaf_size: float = 0.04   # coarser than the edge voxel: surface
                               # sampling density, not feature density
     max_points: int = 8192    # per-frame capacity after downsampling
+    # Pixel decimation before the full-cloud voxel downsample: keep every
+    # d-th row/column of the organized image. At leaf 0.04 and typical
+    # indoor depths a voxel spans >10 pixels per axis, so d=2 still leaves
+    # dozens of samples per voxel mean — but cuts the downsample's
+    # sort+scatter traffic by d^2 (the dominant phase-1 cost at full res).
+    decimate: int = 1
     # In-chain refinement: refine each pair against the ACCUMULATED full
     # surface inside the frame chain (improves the targets later frames
     # align to, but its small per-pair bias accumulates as drift).

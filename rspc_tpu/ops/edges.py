@@ -62,27 +62,24 @@ _DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 _SHUFFLE_BLOCK = 128
 
 
-def _block_shuffle(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Shuffle the leading axis in fixed pseudo-random 128-element blocks
-    (host-computed permutation baked in as a constant). Block-level
-    shuffling keeps the gather contiguous — a per-pixel permutation of a
-    640x480 image cost ~12 ms/frame of random-access DMA — while still
-    spreading any capacity truncation uniformly across the image."""
+def _shuffle_priority(n: int) -> jnp.ndarray:
+    """Constant i32[n] rank giving each pixel its position under a fixed
+    pseudo-random 128-element-block shuffle (blocks permuted, order within
+    a block kept). Capacity truncation by ascending rank then drops pixels
+    uniformly across the image instead of amputating the bottom rows —
+    row-major truncation silently destroys registration overlap whenever a
+    frame saturates its capacity. Block granularity (not per-pixel) keeps
+    the associated gathers contiguous; a per-pixel permutation of a
+    640x480 image cost ~12 ms/frame of random-access DMA."""
     import numpy as _np
 
     nb = -(-n // _SHUFFLE_BLOCK)
     rng = _np.random.default_rng(0x5EED)
-    perm_b = jnp.asarray(rng.permutation(nb).astype("int32"))
-    pad = nb * _SHUFFLE_BLOCK - n
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    xs = x.reshape((nb, _SHUFFLE_BLOCK) + x.shape[1:])
-    # NOTE: returns the padded length (nb*128): the pad elements are
-    # scattered by the shuffle, so they cannot be sliced off — callers
-    # must mask them invalid (the pad rows are zeros -> valid=False).
-    return jnp.take(xs, perm_b, axis=0).reshape(
-        (nb * _SHUFFLE_BLOCK,) + x.shape[1:]
-    )
+    perm_b = rng.permutation(nb)  # output block j reads input block perm_b[j]
+    inv = _np.argsort(perm_b)     # input block b lands at output slot inv[b]
+    i = _np.arange(n)
+    pri = inv[i // _SHUFFLE_BLOCK] * _SHUFFLE_BLOCK + i % _SHUFFLE_BLOCK
+    return jnp.asarray(pri.astype("int32"))
 
 
 def _first_valid_along(z, valid, dr, dc, max_steps):
@@ -248,24 +245,27 @@ def extract_edge_features(
     SHUFFLED pixel order (a fixed pseudo-random permutation baked into
     the program): row-major truncation would amputate the bottom of the
     image, which silently destroys registration overlap whenever a frame
-    saturates its capacity."""
+    saturates its capacity.
+
+    Compaction runs as ONE i32 key sort + per-component row gathers of
+    only the surviving ``max_edge_points`` rows. (An earlier design packed
+    a [H*W, 10] payload, shuffle-gathered it, and unpacked by column
+    slices — the narrow lane dimension made those slices ~17 ms/frame of
+    pure re-layout DMA.)"""
     labels, normals = _organized_edges_with_normals(cloud, config)
     flat = cloud.flatten()
     hw = flat.capacity
     sel = (labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid
-    # one packed payload -> ONE shuffle gather instead of four (the bool
-    # column gathers alone cost ~3 ms/frame in byte-packed tiles)
-    payload = jnp.concatenate(
-        [
-            flat.xyz,
-            flat.rgb,
-            normals.reshape(hw, 3),
-            sel[:, None].astype(flat.xyz.dtype),
-        ],
-        axis=-1,
+    # selected pixels keyed by shuffled rank, everything else pushed past
+    # the end; ascending argsort == stable compaction in shuffled order
+    sentinel = jnp.int32(2**31 - 1)
+    keys = jnp.where(sel, _shuffle_priority(hw), sentinel)
+    order = jnp.argsort(keys)[: config.max_edge_points]
+    take = lambda x: jnp.take(x, order, axis=0)
+    out = Cloud(
+        take(flat.xyz),
+        take(flat.rgb),
+        take(keys) != sentinel,
+        take(normals.reshape(hw, 3)),
     )
-    sh = _block_shuffle(payload, hw)
-    return compact(
-        Cloud(sh[:, 0:3], sh[:, 3:6], sh[:, 9] > 0.5, sh[:, 6:9]),
-        capacity=config.max_edge_points,
-    )
+    return out.pad_to(config.max_edge_points)

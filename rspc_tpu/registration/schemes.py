@@ -394,33 +394,50 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
     return total, accepted
 
 
-@partial(jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "with_full"))
-def _phase1_prepare(stacked: OrganizedCloud, edge_cfg, leaf, cap, with_full):
+@partial(
+    jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "with_full", "dec")
+)
+def _phase1_prepare(
+    stacked: OrganizedCloud, edge_cfg, leaf, cap, with_full, dec=1
+):
     """Batched phase 1: edge clouds (and, when ``with_full``, the refine
     stage's full downsampled clouds) for all frames in one launch."""
 
     def one(oc):
         e = extract_edge_features(oc, edge_cfg)
         if with_full:
-            return e, _prepare_full_down(oc, edge_cfg, leaf, cap)
+            return e, _prepare_full_down(oc, edge_cfg, leaf, cap, dec)
         return e, ()
 
     return jax.vmap(one)(stacked)
 
 
-@partial(jax.jit, static_argnames=("edge_cfg", "leaf", "cap"))
-def _prepare_full_down(oc: OrganizedCloud, edge_cfg, leaf, cap) -> Cloud:
+@partial(jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "dec"))
+def _prepare_full_down(oc: OrganizedCloud, edge_cfg, leaf, cap, dec=1) -> Cloud:
     """Phase-1 prep for the refine stage: attach integral-image normals to
     the full organized cloud and voxel-downsample (means of coplanar
     points stay on the plane). Under jit the normal estimation CSEs with
-    the edge extractor's own estimate_normals call."""
+    the edge extractor's own estimate_normals call.
+
+    ``dec`` > 1 keeps every dec-th pixel per axis before the downsample
+    (RefineConfig.decimate): the voxel means average a uniform subsample
+    instead of every pixel, cutting the sort+scatter traffic dec^2-fold.
+    Normals still come from the full-resolution image (they CSE with the
+    edge path), so decimation does not coarsen the gradients."""
     nrm, nv = estimate_normals(oc, edge_cfg)
-    h, w = oc.height, oc.width
+    xyz, rgb = oc.xyz, oc.rgb
+    valid = oc.valid & nv
+    if dec > 1:
+        xyz = xyz[::dec, ::dec]
+        rgb = rgb[::dec, ::dec]
+        valid = valid[::dec, ::dec]
+        nrm = nrm[::dec, ::dec]
+    m = xyz.shape[0] * xyz.shape[1]
     flat = Cloud(
-        oc.xyz.reshape(h * w, 3),
-        oc.rgb.reshape(h * w, 3),
-        (oc.valid & nv).reshape(h * w),
-        normal=nrm.reshape(h * w, 3),
+        xyz.reshape(m, 3),
+        rgb.reshape(m, 3),
+        valid.reshape(m),
+        normal=nrm.reshape(m, 3),
     )
     return voxel_downsample(flat, leaf, cap)
 
@@ -596,6 +613,93 @@ def _chain_scan(
     }
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "edge_cfg",
+        "use_ndt",
+        "ndt_cfg",
+        "icp_cfg",
+        "refine_cfg",
+        "leaf",
+        "voxel_cap",
+        "coarse_guard_cap",
+    ),
+)
+def _registration_fused(
+    stacked: OrganizedCloud,   # [n, H, W, ...]
+    guesses,                   # f32[n-1, 4, 4]
+    edge_cfg,
+    use_ndt: bool,
+    ndt_cfg,
+    icp_cfg,
+    refine_cfg,
+    leaf: float,
+    voxel_cap: int,
+    coarse_guard_cap: float,
+):
+    """The ENTIRE registration — phase-1 feature extraction, the phase-2
+    frame chain, anchor refinement, and global-cloud assembly — as ONE
+    compiled program.
+
+    Splitting these into separate jit calls costs a host round trip per
+    stage; on the axon TPU tunnel each round trip carries multi-ten-ms
+    latency and jitter, which at 4-5 stages rivals the whole device-side
+    compute of the north-star workload. One program also lets XLA overlap
+    independent pieces (e.g. later frames' phase-1 scatters with the
+    first chain steps)."""
+    n = stacked.xyz.shape[0]
+    r = refine_cfg
+    feats, full = _phase1_prepare(
+        stacked, edge_cfg, r.leaf_size, r.max_points, r.enabled, r.decimate
+    )
+    out = _chain_scan(
+        feats,
+        full if (r.enabled and r.chain) else None,
+        guesses,
+        use_ndt,
+        ndt_cfg,
+        icp_cfg,
+        r.stages,
+        leaf,
+        voxel_cap,
+        voxel_cap * n,
+        r.max_points * n,
+        coarse_guard_cap,
+        r.accept_margin,
+    )
+    totals = out["totals"]
+    accepted = ()
+    if r.enabled and r.anchor_to_first:
+        first = jax.tree.map(lambda x: x[0], full)
+        restf = jax.tree.map(lambda x: x[1:], full)
+        totals, accepted = _anchor_refine(
+            first, restf, totals, r.anchor_stages, 1.0
+        )
+    out["totals"] = totals
+    out["anchor_accepted"] = accepted
+    out["features"] = feats
+    out["full_down"] = full
+
+    # global cloud from the already-stacked originals: one batched
+    # transform over [n, H*W, 3], gated per frame by convergence
+    hw = stacked.xyz.shape[1] * stacked.xyz.shape[2]
+    eye = jnp.eye(4, dtype=totals.dtype)
+    all_t = jnp.concatenate([eye[None], totals], axis=0)
+    conv_all = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), out["fine"].converged], axis=0
+    )
+    xyz = jax.vmap(apply_transform)(all_t, stacked.xyz.reshape(n, hw, 3))
+    out["global"] = Cloud(
+        xyz=xyz.reshape(n * hw, 3),
+        rgb=stacked.rgb.reshape(n * hw, 3),
+        valid=(stacked.valid.reshape(n, hw) & conv_all[:, None]).reshape(
+            n * hw
+        ),
+    )
+    return out
+
+
 class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
     """Shared skeleton of the ICP- and NDT-based edge schemes."""
 
@@ -632,13 +736,21 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                 "the refine stage needs organized input clouds "
                 "(normal estimation is image-shaped)"
             )
+        if (
+            self.config.use_scan
+            and len(clouds) >= 2
+            and all(isinstance(c, OrganizedCloud) for c in clouds)
+            and len({(c.height, c.width) for c in clouds}) == 1
+        ):
+            return self._registration_fused_path(clouds)
         features = self.batch_extract_features(clouds)
         if features is None:
             features = [self.extract_features(c) for c in clouds]
         if r.enabled and self._full_down is None:
             self._full_down = [
                 _prepare_full_down(
-                    c, self.config.edge, r.leaf_size, r.max_points
+                    c, self.config.edge, r.leaf_size, r.max_points,
+                    r.decimate,
                 )
                 for c in clouds
             ]
@@ -646,6 +758,95 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             (f, _as_unorganized(c)) for f, c in zip(features, clouds)
         ]
         return self.global_registration(feature_clouds)
+
+    def _registration_fused_path(self, clouds: Sequence) -> Cloud:
+        """Uniform organized batch: run the whole pipeline as one program
+        (``_registration_fused``) — no per-stage host round trips."""
+        cfg = self.config
+        r = cfg.refine
+        n = len(clouds)
+        if self.use_imu:
+            assert self.thetas.shape[0] == n, "thetas/clouds size mismatch"
+        stacked = OrganizedCloud(
+            xyz=jnp.stack([c.xyz for c in clouds]),
+            rgb=jnp.stack([c.rgb for c in clouds]),
+            valid=jnp.stack([c.valid for c in clouds]),
+        )
+        out = _registration_fused(
+            stacked,
+            self._guesses(n),
+            cfg.edge,
+            self.use_ndt_coarse,
+            cfg.ndt,
+            cfg.icp,
+            r,
+            cfg.voxel.leaf_size,
+            cfg.voxel.max_points,
+            cfg.coarse_guard_cap,
+        )
+        # Per-frame diagnostics (results / refine_results / _full_down)
+        # materialize LAZILY on first attribute access: slicing the
+        # stacked outputs into per-frame pytrees dispatches ~100 tiny
+        # device ops, each paying tunnel latency — deferring them keeps
+        # the timed registration path at one program launch.
+        self._fused_out = (out, n)
+        self._results = None
+        self._refine_results = None
+        self._full_down = None
+        if r.enabled and r.anchor_to_first:
+            self.anchor_accepted = out["anchor_accepted"]
+        self.total_transforms = out["totals"]
+        self._dump_edges(
+            [out["edges_down0"]]
+            + [
+                jax.tree.map(lambda x: x[i], out["features"])
+                for i in range(1, n)
+            ]
+            if self.saves_edge_pcds and self.dataset_dir is not None
+            else [],
+            out["target"],
+        )
+        return out["global"]
+
+    def _materialize_fused(self):
+        out, n = self._fused_out
+        r = self.config.refine
+        pick = lambda t, i: jax.tree.map(lambda x: x[i], t)
+        if self._results is None:
+            self._results = [
+                (pick(out["coarse"], i), pick(out["fine"], i))
+                for i in range(n - 1)
+            ]
+            self._refine_results = (
+                [pick(out["refine"], i) for i in range(n - 1)]
+                if (r.enabled and r.chain)
+                else []
+            )
+            if r.enabled:
+                self._full_down = [
+                    pick(out["full_down"], i) for i in range(n)
+                ]
+
+    @property
+    def results(self):
+        if getattr(self, "_fused_out", None) is not None:
+            self._materialize_fused()
+        return self._results
+
+    @results.setter
+    def results(self, v):
+        self._results = v
+        self._fused_out = None
+
+    @property
+    def refine_results(self):
+        if getattr(self, "_fused_out", None) is not None:
+            self._materialize_fused()
+        return self._refine_results
+
+    @refine_results.setter
+    def refine_results(self, v):
+        self._refine_results = v
 
     def extract_features(self, cloud):
         if not isinstance(cloud, OrganizedCloud):
@@ -674,7 +875,8 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             valid=jnp.stack([c.valid for c in clouds]),
         )
         batched, full = _phase1_prepare(
-            stacked, self.config.edge, r.leaf_size, r.max_points, r.enabled
+            stacked, self.config.edge, r.leaf_size, r.max_points, r.enabled,
+            r.decimate,
         )
         idx = lambda t, i: jax.tree.map(lambda x: x[i], t)
         if r.enabled:
@@ -694,15 +896,26 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
     def _guesses(self, n: int):
         """Stacked [n-1,4,4] initial guesses. The static-guess accumulator
         advances for every frame, converged or not (reference :98-101), so
-        all guesses are computable up front in both modes."""
-        rel = relative_thetas(self.thetas) if self.use_imu else None
-        out = []
-        acc_rads = 0.0
-        for idx in range(1, n):
-            if not self.use_imu:
-                acc_rads += self.rads
-            out.append(self._guess(idx, rel, acc_rads))
-        return jnp.stack(out)
+        all guesses are computable up front in both modes.
+
+        Static guesses are pure constants — built host-side in numpy (one
+        transfer, zero device dispatches); IMU guesses are one vmapped
+        launch over the rebased thetas."""
+        if not self.use_imu:
+            acc = self.rads * np.arange(1, n, dtype=np.float64)
+            c, s = np.cos(acc), np.sin(acc)
+            t = np.tile(np.eye(4, dtype=np.float32), (n - 1, 1, 1))
+            t[:, 0, 0] = c
+            t[:, 0, 2] = s
+            t[:, 2, 0] = -s
+            t[:, 2, 2] = c
+            return jnp.asarray(t)
+        guess_fn = (
+            imu_guess_full if not self.use_ndt_coarse else imu_guess_y
+        )
+        return jax.jit(
+            lambda th: jax.vmap(guess_fn)(relative_thetas(th)[1:])
+        )(self.thetas)
 
     def _dump_edges(self, edges: List[Cloud], target: Cloud | None):
         if not (self.saves_edge_pcds and self.dataset_dir is not None):
