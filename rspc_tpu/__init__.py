@@ -44,10 +44,13 @@ if not _os.environ.get("RSPC_BF16_MATMUL"):
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Persistent XLA compilation cache. Opt-in via RSPC_CACHE=1 (or call
-    directly): on standard TPU/CPU backends this removes tens of seconds
-    of first-compile latency per program; remote-compile tunnels may not
-    support executable serialization, in which case it is a no-op."""
+    """Persistent XLA compilation cache (default ON; opt out with
+    RSPC_NO_CACHE=1). The full-pipeline program compiles in minutes
+    through a remote-compile TPU tunnel but deserializes from this cache
+    in ~1 s, so one-shot CLI invocations would otherwise pay the whole
+    compile every run. Verified to serialize/deserialize correctly
+    through the axon remote-compile tunnel; wrapped in try/except so
+    backends without executable serialization silently skip it."""
     import jax
 
     cache_dir = path or _os.environ.get(
@@ -60,7 +63,7 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # older jax without these flags
 
 
-if _os.environ.get("RSPC_CACHE"):
+if not _os.environ.get("RSPC_NO_CACHE"):
     enable_compilation_cache()
 
 from rspc_tpu.cloud import Cloud, OrganizedCloud  # noqa: F401

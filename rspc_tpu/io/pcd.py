@@ -256,8 +256,12 @@ def save_pcd(
 
     ``mode``: "ascii" | "binary" | "binary_compressed".
     For unorganized clouds with ``keep_invalid=False``, only valid points are
-    written (PCL's dynamically-sized clouds have no padding). Organized
-    clouds always keep their full grid, with invalid points as NaN.
+    written (PCL's dynamically-sized clouds have no padding); with
+    ``keep_invalid=True`` every stored row is written VERBATIM — invalid
+    rows (z == 0 under our load convention) keep their coordinates, so the
+    reference's own sample files round-trip losslessly like they do
+    through PCL. Organized clouds always keep their full grid, with
+    invalid pixels as NaN (PCL's organized-cloud convention).
     """
     organized = isinstance(cloud, OrganizedCloud)
     if organized:
@@ -272,9 +276,6 @@ def save_pcd(
         valid = np.asarray(cloud.valid)
         if not keep_invalid:
             xyz, rgb = xyz[valid], rgb[valid]
-        else:
-            xyz = xyz.copy()
-            xyz[~valid] = np.nan
         width, height = xyz.shape[0], 1
 
     n = xyz.shape[0]

@@ -41,6 +41,21 @@ def test_load_reference_example_uint_rgb():
 
 
 @pytest.mark.parametrize("mode", ["ascii", "binary", "binary_compressed"])
+def test_roundtrip_reference_sample_verbatim(tmp_path, mode):
+    # The reference sample's points all have z == 0 (invalid under our
+    # load convention), but keep_invalid=True must still write the stored
+    # rows verbatim — PCL round-trips this file losslessly.
+    c = load_pcd(REF_EXAMPLE)
+    p = tmp_path / f"ref_{mode}.pcd"
+    save_pcd(p, c, mode=mode)
+    c2 = load_pcd(p)
+    np.testing.assert_allclose(
+        np.asarray(c.xyz), np.asarray(c2.xyz), rtol=0, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(c.rgb), np.asarray(c2.rgb))
+
+
+@pytest.mark.parametrize("mode", ["ascii", "binary", "binary_compressed"])
 def test_roundtrip_unorganized(tmp_path, mode):
     rng = np.random.default_rng(0)
     c = _random_cloud(rng)
