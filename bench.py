@@ -78,20 +78,38 @@ def main():
             # spans >10 px/axis at these depths, so the means keep dozens
             # of samples each while the downsample traffic drops 4x.
             decimate=2,
+            # Drop crease voxels (cells straddling two surfaces): their
+            # means lie on neither plane and their averaged normals point
+            # nowhere, which fed the anchor stage a consistent bias that
+            # DRAGGED frames off sub-mm starts (measured: one frame drifted
+            # monotonically to 4e-3 before this filter; 4e-4 after).
+            normal_purity=0.995,
             # anchor-only: the drift-free per-frame anchoring subsumes the
             # in-chain refinement (same accuracy, one fewer p2l stage per
-            # pair inside the scan); a single tight anchor stage suffices
-            # from chain-initialized starts
+            # pair inside the scan); annealed wide->tight caps converge in
+            # 3+3 iterations from chain-initialized starts
             chain=False, anchor_to_first=True,
             anchor_stages=(
                 ICPConfig(
-                    max_iterations=6,
+                    max_iterations=3,
                     max_correspondence_distance=0.05,
                     transformation_epsilon=1e-12,
                     euclidean_fitness_epsilon=1e-12,
                     mse_threshold_absolute=1e-16,
                     variant="point_to_plane",
                     huber_delta=0.003,
+                    compute_fitness=False,
+                    use_pallas=False,
+                    target_chunk=16384,
+                ),
+                ICPConfig(
+                    max_iterations=3,
+                    max_correspondence_distance=0.02,
+                    transformation_epsilon=1e-12,
+                    euclidean_fitness_epsilon=1e-12,
+                    mse_threshold_absolute=1e-16,
+                    variant="point_to_plane",
+                    huber_delta=0.001,
                     compute_fitness=False,
                     use_pallas=False,
                     target_chunk=16384,

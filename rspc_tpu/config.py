@@ -161,6 +161,12 @@ class RefineConfig:
     # dozens of samples per voxel mean — but cuts the downsample's
     # sort+scatter traffic by d^2 (the dominant phase-1 cost at full res).
     decimate: int = 1
+    # Drop voxels whose mean-normal length |sum n|/count is below this
+    # (0 = keep all). Cells straddling creases / depth discontinuities
+    # average opposing normals to a short vector and their mean point
+    # lies on neither surface — a consistent point-to-plane bias source
+    # (see ops/voxel.voxel_downsample).
+    normal_purity: float = 0.0
     # In-chain refinement: refine each pair against the ACCUMULATED full
     # surface inside the frame chain (improves the targets later frames
     # align to, but its small per-pair bias accumulates as drift).

@@ -18,6 +18,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from rspc_tpu.ops.image import (
     SOBEL_X,
@@ -39,11 +43,28 @@ def _dilate8(mask: jnp.ndarray) -> jnp.ndarray:
 
 def _nms(mag: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
     """Keep pixels that are local maxima along the gradient direction
-    (quantized to 4 sectors)."""
-    angle = jnp.arctan2(gy, gx)  # [-pi, pi]
-    # fold to [0, pi) and quantize: 0 = E/W, 1 = NE/SW, 2 = N/S, 3 = NW/SE
-    a = jnp.mod(angle, jnp.pi)
-    sector = jnp.mod(jnp.floor((a + jnp.pi / 8) / (jnp.pi / 4)), 4).astype(jnp.int32)
+    (quantized to 4 sectors).
+
+    Sector selection by tangent-band comparison instead of
+    ``floor(mod(arctan2(...)))``: with a = atan2(gy,gx) mod pi, sector 0
+    (E/W) is |gy| < tan(pi/8)|gx|, sector 2 (N/S) is |gy| >= tan(3pi/8)|gx|,
+    and the diagonal band splits 1 vs 3 on sign(gx*gy) — identical
+    quantization, but three multiplies/compares per pixel instead of a
+    transcendental (arctan2 alone measured several ms per 10-frame
+    batch)."""
+    t1 = jnp.float32(np.tan(np.pi / 8))
+    t2 = jnp.float32(np.tan(3 * np.pi / 8))
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    same_sign = (gx * gy) >= 0.0
+    sector = jnp.where(
+        ay < t1 * ax,
+        0,
+        jnp.where(
+            ay >= t2 * ax,
+            2,
+            jnp.where(same_sign, 1, 3),
+        ),
+    ).astype(jnp.int32)
 
     neighbors = [
         (shift2d(mag, 0, 1), shift2d(mag, 0, -1)),    # horizontal gradient
@@ -58,8 +79,107 @@ def _nms(mag: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
     return keep
 
 
+def _propagate_line(cur: jnp.ndarray, weak: jnp.ndarray, dr: int,
+                    dc: int) -> jnp.ndarray:
+    """Flood ``cur`` through ``weak`` runs along one scan direction
+    ``(dr, dc)`` in one log-doubling pass: the recurrence
+    ``lit[i] = cur[i] | (weak[i] & lit[i-1])`` doubles as
+    ``b_{k+1} = b_k | (a_k & shift(b_k, 2^k))``,
+    ``a_{k+1} = a_k & shift(a_k, 2^k)`` where ``a_k`` is the window
+    conjunction of weaks — plain shifts instead of an associative_scan,
+    whose slice-heavy lowering measured ~3x slower than the dilation
+    fixpoint it replaced."""
+    n = cur.shape[-1] if dr == 0 else cur.shape[-2]
+    a = weak
+    b = cur
+    step = 1
+    while step < n:
+        b = b | (a & shift2d(b, dr * step, dc * step, fill=False))
+        a = a & shift2d(a, dr * step, dc * step, fill=False)
+        step *= 2
+    return b
+
+
+def _hysteresis_kernel(strong_ref, weak_ref, out_ref):
+    """Whole hysteresis fixpoint on one frame resident in VMEM.
+
+    The XLA formulation of the same algorithm launches ~150 full-image
+    shift/logic HLO ops per round through HBM; at sub-ms per-op sizes the
+    launch overhead dominates (~30 ms for a 10-frame batch). Here every
+    round's ~150 VPU ops run back to back on VMEM-resident data — the
+    image never leaves the chip until the fixpoint. Bools ride as f32
+    0/1 with max/min as or/and (VPU-native select-free logic)."""
+    h, w = strong_ref.shape
+    weak = weak_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def shift(x, dr, dc):
+        # out[r, c] = x[r + dr, c + dc], zero-filled (shift2d semantics);
+        # pltpu.roll wants a non-negative circular shift
+        y = x
+        if dr:
+            y = pltpu.roll(y, (-dr) % h, 0)
+            y = jnp.where((row + dr >= 0) & (row + dr < h), y, 0.0)
+        if dc:
+            y = pltpu.roll(y, (-dc) % w, 1)
+            y = jnp.where((col + dc >= 0) & (col + dc < w), y, 0.0)
+        return y
+
+    def body(st):
+        cur, _ = st
+        g = cur
+        for dr, dc in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            a, b, step = weak, g, 1
+            n = w if dr == 0 else h
+            while step < n:
+                b = jnp.maximum(
+                    b, jnp.minimum(a, shift(b, dr * step, dc * step))
+                )
+                a = jnp.minimum(a, shift(a, dr * step, dc * step))
+                step *= 2
+            g = b
+        d = g
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr or dc:
+                    d = jnp.maximum(d, shift(g, dr, dc))
+        g = jnp.maximum(g, jnp.minimum(weak, d))
+        return g, jnp.any(g != cur)
+
+    out, _ = jax.lax.while_loop(
+        lambda st: st[1], body, (strong_ref[:], jnp.bool_(True))
+    )
+    out_ref[:] = out
+
+
+def _hysteresis_pallas(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
+    out = pl.pallas_call(
+        _hysteresis_kernel,
+        out_shape=jax.ShapeDtypeStruct(strong.shape, jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(strong.astype(jnp.float32), weak.astype(jnp.float32))
+    return out > 0.5
+
+
 def _hysteresis(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
-    """Grow strong edges through weak pixels to a fixpoint."""
+    """Grow strong edges through weak pixels to a fixpoint (PCL's DFS edge
+    tracing reaches the same unique connected closure).
+
+    Per round: four directional log-doubling line floods (entire
+    horizontal/vertical weak runs light up in one pass each) plus one
+    8-neighbor dilation (hops diagonals and jumps between lines), so the
+    round count is the number of direction *changes* along the longest
+    weak chain — measured ~3 on real frames, where a one-pixel-per-step
+    dilation fixpoint needed >100 iterations. On TPU the whole fixpoint
+    runs as one Pallas kernel per frame in VMEM; elsewhere the identical
+    algorithm runs as XLA image ops."""
+    if jax.default_backend() == "tpu" and strong.ndim == 2:
+        return _hysteresis_pallas(strong, weak)
 
     def cond(st):
         cur, changed = st
@@ -67,7 +187,10 @@ def _hysteresis(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
 
     def body(st):
         cur, _ = st
-        grown = cur | (weak & _dilate8(cur))
+        grown = cur
+        for dr, dc in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            grown = _propagate_line(grown, weak, dr, dc)
+        grown = grown | (weak & _dilate8(grown))
         return grown, jnp.any(grown != cur)
 
     out, _ = jax.lax.while_loop(cond, body, (strong, jnp.bool_(True)))

@@ -26,12 +26,25 @@ import jax.numpy as jnp
 from rspc_tpu.cloud import Cloud
 
 
-def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
+def voxel_downsample(
+    cloud: Cloud,
+    leaf_size: float,
+    max_points: int,
+    min_normal_purity: float = 0.0,
+) -> Cloud:
     """One averaged point per occupied ``leaf_size`` voxel.
 
     Voxel coordinate = floor(x / leaf) per axis (PCL convention). Points are
     sorted by voxel key (valid first), segment boundaries found where the
     key changes, and xyz/rgb segment-mean reduced into ``max_points`` slots.
+
+    ``min_normal_purity`` (only meaningful when the cloud carries normals):
+    drop voxels whose mean-normal length ``|sum n| / count`` falls below
+    the threshold. A cell sampling a single smooth surface has purity ~1;
+    a cell straddling a crease or depth discontinuity averages opposing
+    normals to a short vector — and its mean point lies on NEITHER
+    surface, which injects exactly the kind of consistent point-to-plane
+    bias that drags a refinement stage off a sub-mm start.
     """
     xyz, rgb, valid = cloud.xyz, cloud.rgb, cloud.valid
     n = cloud.capacity
@@ -108,4 +121,7 @@ def voxel_downsample(cloud: Cloud, leaf_size: float, max_points: int) -> Cloud:
             nlen > 1e-12, sum_n / jnp.maximum(nlen, 1e-12),
             jnp.array([0.0, 0.0, 1.0], xyz.dtype),
         )
+        if min_normal_purity > 0.0:
+            purity = nlen[:, 0] / jnp.maximum(counts, 1.0)
+            out_valid = out_valid & (purity >= min_normal_purity)
     return Cloud(xyz=out_xyz, rgb=out_rgb, valid=out_valid, normal=out_nrm)

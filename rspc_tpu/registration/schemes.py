@@ -324,13 +324,25 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
     src0 = jax.vmap(apply_transform_cloud)(totals, fulls)  # [B,N,...]
 
     def inlier_stats(xyz_b):
-        d2, _ = nn_flat(xyz_b.reshape(b * n_pts, 3))
+        d2, idx = nn_flat(xyz_b.reshape(b * n_pts, 3))
         d2 = d2.reshape(b, n_pts)
+        idx = idx.reshape(b, n_pts)
         inl = fulls.valid & jnp.isfinite(d2) & (d2 < gate_radius**2)
         cnt = jnp.sum(inl.astype(dtype), axis=1)
         msq = jnp.sum(jnp.where(inl, d2, 0.0), axis=1) / jnp.maximum(cnt, 1.0)
         msq = jnp.where(cnt > 0, msq, jnp.asarray(jnp.inf, dtype))
-        return cnt, msq
+        # point-to-plane residual over the same inliers — the quantity the
+        # anchor stages actually minimize (see acceptance note below)
+        q = jnp.take(anchor.xyz, idx.reshape(-1), axis=0).reshape(b, n_pts, 3)
+        nq = jnp.take(anchor.normal, idx.reshape(-1), axis=0).reshape(
+            b, n_pts, 3
+        )
+        r = jnp.sum((xyz_b - q) * nq, axis=-1)
+        pmsq = jnp.sum(jnp.where(inl, r * r, 0.0), axis=1) / jnp.maximum(
+            cnt, 1.0
+        )
+        pmsq = jnp.where(cnt > 0, pmsq, jnp.asarray(jnp.inf, dtype))
+        return cnt, msq, pmsq
 
     rel = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (b, 4, 4))
     cur = src0.xyz
@@ -355,7 +367,11 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
                     1.0,
                     stage_cfg.huber_delta / jnp.maximum(jnp.abs(r), 1e-12),
                 )
-            t_inc = jax.vmap(plane_fit)(cur, q, nrm, w)
+            t_inc = jax.vmap(
+                lambda s, d, nn, ww: plane_fit(
+                    s, d, nn, ww, stage_cfg.point_plane_mix
+                )
+            )(cur, q, nrm, w)
             # per-lane trust region (see registration/icp.py)
             def clip_one(t, c_xyz, c_valid):
                 ang = jnp.arccos(
@@ -383,22 +399,30 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
             rel = jnp.einsum("bij,bjk->bik", t_inc, rel)
             cur = jax.vmap(apply_transform)(t_inc, cur)
 
-    # overlap-aware acceptance: refinement must roughly keep its matched
-    # points (5% slack — inliers churn across the radius boundary even
-    # for pure improvements) and must tighten them (margin = rmse bound)
-    nb, rb = inlier_stats(src0.xyz)
-    na, ra = inlier_stats(cur)
-    accepted = (na >= nb * 0.95) & (ra <= rb * margin)
+    # Overlap-aware acceptance: refinement must roughly keep its matched
+    # points (5% slack — inliers churn across the radius boundary even for
+    # pure improvements) and must tighten the POINT-TO-PLANE residual
+    # (margin bound) — the quantity the stages minimize. Gating on point
+    # rmse instead silently rejected genuine improvements: p2l trades
+    # meaningless in-plane point distance for out-of-plane accuracy, so a
+    # better pose can RAISE point rmse (measured: the rejected frames were
+    # exactly the ones with the largest ground-truth error). Point rmse
+    # keeps only a 1.5x blow-up guard against in-plane slip on
+    # low-structure scenes where the plane residual alone is blind.
+    nb, rb, pb = inlier_stats(src0.xyz)
+    na, ra, pa = inlier_stats(cur)
+    accepted = (na >= nb * 0.95) & (pa <= pb * margin) & (ra <= rb * 1.5)
     refined = jnp.einsum("bij,bjk->bik", rel, totals)
     total = jnp.where(accepted[:, None, None], refined, totals)
     return total, accepted
 
 
 @partial(
-    jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "with_full", "dec")
+    jax.jit,
+    static_argnames=("edge_cfg", "leaf", "cap", "with_full", "dec", "purity"),
 )
 def _phase1_prepare(
-    stacked: OrganizedCloud, edge_cfg, leaf, cap, with_full, dec=1
+    stacked: OrganizedCloud, edge_cfg, leaf, cap, with_full, dec=1, purity=0.0
 ):
     """Batched phase 1: edge clouds (and, when ``with_full``, the refine
     stage's full downsampled clouds) for all frames in one launch."""
@@ -406,14 +430,20 @@ def _phase1_prepare(
     def one(oc):
         e = extract_edge_features(oc, edge_cfg)
         if with_full:
-            return e, _prepare_full_down(oc, edge_cfg, leaf, cap, dec)
+            return e, _prepare_full_down(
+                oc, edge_cfg, leaf, cap, dec, purity
+            )
         return e, ()
 
     return jax.vmap(one)(stacked)
 
 
-@partial(jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "dec"))
-def _prepare_full_down(oc: OrganizedCloud, edge_cfg, leaf, cap, dec=1) -> Cloud:
+@partial(
+    jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "dec", "purity")
+)
+def _prepare_full_down(
+    oc: OrganizedCloud, edge_cfg, leaf, cap, dec=1, purity=0.0
+) -> Cloud:
     """Phase-1 prep for the refine stage: attach integral-image normals to
     the full organized cloud and voxel-downsample (means of coplanar
     points stay on the plane). Under jit the normal estimation CSEs with
@@ -439,7 +469,7 @@ def _prepare_full_down(oc: OrganizedCloud, edge_cfg, leaf, cap, dec=1) -> Cloud:
         valid.reshape(m),
         normal=nrm.reshape(m, 3),
     )
-    return voxel_downsample(flat, leaf, cap)
+    return voxel_downsample(flat, leaf, cap, min_normal_purity=purity)
 
 
 @jax.jit
@@ -651,7 +681,8 @@ def _registration_fused(
     n = stacked.xyz.shape[0]
     r = refine_cfg
     feats, full = _phase1_prepare(
-        stacked, edge_cfg, r.leaf_size, r.max_points, r.enabled, r.decimate
+        stacked, edge_cfg, r.leaf_size, r.max_points, r.enabled, r.decimate,
+        r.normal_purity,
     )
     out = _chain_scan(
         feats,
@@ -750,7 +781,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             self._full_down = [
                 _prepare_full_down(
                     c, self.config.edge, r.leaf_size, r.max_points,
-                    r.decimate,
+                    r.decimate, r.normal_purity,
                 )
                 for c in clouds
             ]
@@ -876,7 +907,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         )
         batched, full = _phase1_prepare(
             stacked, self.config.edge, r.leaf_size, r.max_points, r.enabled,
-            r.decimate,
+            r.decimate, r.normal_purity,
         )
         idx = lambda t, i: jax.tree.map(lambda x: x[i], t)
         if r.enabled:
