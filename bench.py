@@ -61,8 +61,10 @@ def main():
         icp=ICPConfig(target_chunk=4096),
         # DIRECT7-style neighborhood: ~4x fewer gathers in the NDT score
         # path for near-identical optima (the coarse guard + refine stage
-        # absorb the residual difference).
-        ndt=NDTConfig(neighborhood=7),
+        # absorb the residual difference). 4096-point uniform subsample:
+        # the coarse stage only has to land inside the fine stage's
+        # basin, and every Newton pass is linear in the source count.
+        ndt=NDTConfig(neighborhood=7, max_source_points=4096),
         # only the RGB_CANNY class feeds registration (the reference
         # computes all five but consumes one — PCL setEdgeType analog)
         edge=EdgeConfig(max_edge_points=16384, edge_types=("rgb_canny",)),

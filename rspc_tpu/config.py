@@ -87,6 +87,13 @@ class NDTConfig:
     # bounding box's min corner. One gather replaces a binary search in
     # the hot score/derivative path.
     dense_grid_dim: int = 32
+    # Source subsample cap for the NDT solve (TPU knob; 0 = use all
+    # points, PCL behavior). The coarse stage only needs enough points to
+    # land in the fine stage's basin, and every Newton/line-search pass
+    # is linear in the source count. Voxel-downsampled clouds come out in
+    # hash-shuffled voxel order, so a PREFIX SLICE of the buffer is
+    # already a spatially uniform subsample — no extra shuffle pass.
+    max_source_points: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -153,7 +153,9 @@ def _hysteresis_kernel(strong_ref, weak_ref, out_ref):
     out_ref[:] = out
 
 
-def _hysteresis_pallas(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
+def _hysteresis_pallas(
+    strong: jnp.ndarray, weak: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
     out = pl.pallas_call(
         _hysteresis_kernel,
         out_shape=jax.ShapeDtypeStruct(strong.shape, jnp.float32),
@@ -162,6 +164,7 @@ def _hysteresis_pallas(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(strong.astype(jnp.float32), weak.astype(jnp.float32))
     return out > 0.5
 

@@ -490,6 +490,17 @@ def ndt_align(
     guess = (
         jnp.eye(4, dtype=dtype) if init_guess is None else init_guess.astype(dtype)
     )
+    cap = config.max_source_points
+    if 0 < cap < src.capacity and psum_axis is None:
+        # Uniform subsample by prefix slice: voxel-downsampled sources
+        # arrive in hash-shuffled voxel order (ops/voxel.py), so the
+        # first ``cap`` rows are already a spatially uniform subset.
+        src = Cloud(
+            src.xyz[:cap],
+            src.rgb[:cap],
+            src.valid[:cap],
+            None if src.normal is None else src.normal[:cap],
+        )
     (
         objective,
         lookup,

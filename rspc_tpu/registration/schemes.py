@@ -218,13 +218,35 @@ def _capped_mean_sq(
 
 def _guard_transform(candidate_t, fallback_t, cloud: Cloud, tgt: Cloud, cap):
     """Keep ``candidate_t`` only if it scores at least as well as
-    ``fallback_t`` under the capped NN metric (never-worsen gate)."""
-    s_cand = _capped_mean_sq(
-        apply_transform_cloud(candidate_t, cloud), tgt, cap
+    ``fallback_t`` under the capped NN metric (never-worsen gate).
+
+    Both hypotheses ride ONE NN sweep: the two transformed copies of the
+    source are concatenated into a [2N] problem against the shared
+    target, halving the sweep launches (the sweep cost is dominated by
+    streaming the target, which is identical for both)."""
+    both = jnp.concatenate(
+        [
+            apply_transform(candidate_t, cloud.xyz),
+            apply_transform(fallback_t, cloud.xyz),
+        ],
+        axis=0,
     )
-    s_fall = _capped_mean_sq(
-        apply_transform_cloud(fallback_t, cloud), tgt, cap
-    )
+    both_valid = jnp.concatenate([cloud.valid, cloud.valid], axis=0)
+    from rspc_tpu.ops.nn import nearest_neighbors
+
+    if jax.default_backend() == "tpu":
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+
+        d2, _ = nearest_neighbors_pallas(both, both_valid, tgt.xyz, tgt.valid)
+    else:
+        d2, _ = nearest_neighbors(both, both_valid, tgt.xyz, tgt.valid)
+    cap2 = cap * cap
+    d2c = jnp.minimum(jnp.where(jnp.isfinite(d2), d2, cap2), cap2)
+    n = cloud.capacity
+    w = cloud.valid.astype(cloud.xyz.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    s_cand = jnp.sum(d2c[:n] * w) / denom
+    s_fall = jnp.sum(d2c[n:] * w) / denom
     return jnp.where(s_cand <= s_fall, candidate_t, fallback_t)
 
 

@@ -198,3 +198,33 @@ def test_statistical_outlier_removal():
     v = np.asarray(out.valid)
     assert not v[200]          # the far outlier dropped
     assert v[:200].sum() > 150  # bulk of the cluster kept
+
+
+def test_hysteresis_pallas_matches_xla_fixpoint():
+    # The VMEM hysteresis kernel (interpret mode off-TPU) must reach the
+    # same unique connected closure as the XLA dilation fixpoint.
+    from rspc_tpu.ops.canny import _dilate8, _hysteresis_pallas
+
+    rng = np.random.default_rng(7)
+    weak = jnp.asarray(rng.random((64, 256)) < 0.25)
+    strong = weak & jnp.asarray(rng.random((64, 256)) < 0.05)
+    got = np.asarray(_hysteresis_pallas(strong, weak, interpret=True))
+    ref = strong
+    for _ in range(200):
+        ref = ref | (weak & _dilate8(ref))
+    np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_hysteresis_line_flood_matches_dilation():
+    # XLA path: log-doubling line floods + dilation rounds == plain
+    # one-pixel dilation fixpoint.
+    from rspc_tpu.ops.canny import _dilate8, _hysteresis
+
+    rng = np.random.default_rng(11)
+    weak = jnp.asarray(rng.random((48, 80)) < 0.35)
+    strong = weak & jnp.asarray(rng.random((48, 80)) < 0.03)
+    got = np.asarray(_hysteresis(strong, weak))
+    ref = strong
+    for _ in range(200):
+        ref = ref | (weak & _dilate8(ref))
+    np.testing.assert_array_equal(got, np.asarray(ref))

@@ -198,3 +198,28 @@ def test_nearest_neighbors_mm_scale_precision():
     want_d2 = full.min(1)
     # distance to picked neighbor must match true NN distance to f32 noise
     np.testing.assert_allclose(np.asarray(d2), want_d2, atol=1e-9)
+
+
+def test_voxel_downsample_normal_purity_drops_crease_cells():
+    from rspc_tpu.cloud import Cloud
+    from rspc_tpu.ops.voxel import voxel_downsample
+
+    # two voxels: one pure (+z normals), one crease (+z and +x mixed)
+    xyz = np.array(
+        [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.3, 0.1, 0.2],
+         [1.1, 0.1, 0.1], [1.2, 0.2, 0.2], [1.3, 0.1, 0.2]],
+        np.float32,
+    )
+    nrm = np.array(
+        [[0, 0, 1], [0, 0, 1], [0, 0, 1],
+         [0, 0, 1], [1, 0, 0], [0, 1, 0]],
+        np.float32,
+    )
+    c = Cloud.from_numpy(xyz, valid=np.ones(6, bool))
+    c = Cloud(c.xyz, c.rgb, c.valid, normal=jnp.asarray(nrm))
+    out_all = voxel_downsample(c, 1.0, 8)
+    assert int(out_all.count()) == 2
+    out_pure = voxel_downsample(c, 1.0, 8, min_normal_purity=0.9)
+    assert int(out_pure.count()) == 1
+    kept = np.asarray(out_pure.xyz)[np.asarray(out_pure.valid)]
+    assert (kept[:, 0] < 1.0).all()  # the pure cell is the x<1 one
