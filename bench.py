@@ -32,15 +32,8 @@ def main():
     import jax
 
     from rspc_tpu.capture.synthetic import SyntheticSequence
-    from rspc_tpu.config import (
-        EdgeConfig,
-        ICPConfig,
-        NDTConfig,
-        PipelineConfig,
-        RefineConfig,
-        VoxelConfig,
-    )
     from rspc_tpu.ops.deproject import Intrinsics
+    from rspc_tpu.presets import north_star_config
     from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
 
     n_frames = 10
@@ -55,72 +48,9 @@ def main():
     jax.block_until_ready(clouds[-1].xyz)
     log(f"rendered {n_frames} 640x480 frames in {time.time()-t0:.2f}s")
 
-    # Working configuration: the reference's algorithmic defaults, with
-    # TPU capacity knobs sized for this workload.
-    config = PipelineConfig(
-        icp=ICPConfig(target_chunk=4096),
-        # DIRECT7-style neighborhood: ~4x fewer gathers in the NDT score
-        # path for near-identical optima (the coarse guard + refine stage
-        # absorb the residual difference). 4096-point uniform subsample:
-        # the coarse stage only has to land inside the fine stage's
-        # basin, and every Newton pass is linear in the source count.
-        ndt=NDTConfig(neighborhood=7, max_source_points=4096),
-        # only the RGB_CANNY class feeds registration (the reference
-        # computes all five but consumes one — PCL setEdgeType analog)
-        edge=EdgeConfig(max_edge_points=16384, edge_types=("rgb_canny",)),
-        voxel=VoxelConfig(leaf_size=0.01, max_points=10240),
-        # Beyond-reference accuracy stages: full-cloud point-to-plane
-        # refinement inside the chain plus drift-free anchoring of every
-        # frame against frame 0 (edge points are pixel-grid samples whose
-        # in-plane bias caps point-to-point accuracy at a few mm; see
-        # RefineConfig).
-        refine=RefineConfig(
-            enabled=True, leaf_size=0.04, max_points=10240,
-            # 2x2 pixel decimation before the 4 cm voxel means: a voxel
-            # spans >10 px/axis at these depths, so the means keep dozens
-            # of samples each while the downsample traffic drops 4x.
-            decimate=2,
-            # Drop crease voxels (cells straddling two surfaces): their
-            # means lie on neither plane and their averaged normals point
-            # nowhere, which fed the anchor stage a consistent bias that
-            # DRAGGED frames off sub-mm starts (measured: one frame drifted
-            # monotonically to 4e-3 before this filter; 4e-4 after).
-            normal_purity=0.995,
-            # anchor-only: the drift-free per-frame anchoring subsumes the
-            # in-chain refinement (same accuracy, one fewer p2l stage per
-            # pair inside the scan); annealed wide->tight caps converge in
-            # 3+3 iterations from chain-initialized starts
-            chain=False, anchor_to_first=True,
-            anchor_stages=(
-                ICPConfig(
-                    max_iterations=3,
-                    max_correspondence_distance=0.05,
-                    transformation_epsilon=1e-12,
-                    euclidean_fitness_epsilon=1e-12,
-                    mse_threshold_absolute=1e-16,
-                    variant="point_to_plane",
-                    huber_delta=0.003,
-                    compute_fitness=False,
-                    use_pallas=False,
-                    target_chunk=16384,
-                ),
-                ICPConfig(
-                    max_iterations=3,
-                    max_correspondence_distance=0.02,
-                    transformation_epsilon=1e-12,
-                    euclidean_fitness_epsilon=1e-12,
-                    mse_threshold_absolute=1e-16,
-                    variant="point_to_plane",
-                    huber_delta=0.001,
-                    compute_fitness=False,
-                    use_pallas=False,
-                    target_chunk=16384,
-                ),
-            ),
-        ),
-        # Never let the 1 m-resolution NDT stage worsen a good guess.
-        coarse_guard_cap=0.1,
-    )
+    # The north-star configuration lives in rspc_tpu/presets.py (shared
+    # with benchmarks/workloads.py so the RESULTS.md table cannot drift).
+    config = north_star_config()
 
     def run():
         scheme = NDTEdgeBasedRegistration(rads=yaw_step, config=config)

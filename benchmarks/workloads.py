@@ -14,10 +14,14 @@ the whole table reproduces from one command.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# python puts the script's own dir (benchmarks/) on sys.path, not the repo
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -44,14 +48,7 @@ def main():
 
     from rspc_tpu.capture.synthetic import SyntheticSequence
     from rspc_tpu.cloud import Cloud
-    from rspc_tpu.config import (
-        EdgeConfig,
-        ICPConfig,
-        NDTConfig,
-        PipelineConfig,
-        RefineConfig,
-        VoxelConfig,
-    )
+    from rspc_tpu.config import EdgeConfig, ICPConfig
     from rspc_tpu.ops.deproject import Intrinsics
     from rspc_tpu.ops.edges import extract_organized_edges
     from rspc_tpu.ops.voxel import voxel_downsample
@@ -126,37 +123,9 @@ def main():
         )
 
     if 3 in which or 4 in which:
-        common = dict(
-            icp=ICPConfig(target_chunk=4096),
-            ndt=NDTConfig(neighborhood=7, max_source_points=4096),
-            edge=EdgeConfig(max_edge_points=16384, edge_types=("rgb_canny",)),
-            voxel=VoxelConfig(leaf_size=0.01, max_points=10240),
-            refine=RefineConfig(
-                enabled=True, leaf_size=0.04, max_points=10240, decimate=2,
-                normal_purity=0.995, chain=False, anchor_to_first=True,
-                anchor_stages=(
-                    ICPConfig(
-                        max_iterations=3, max_correspondence_distance=0.05,
-                        transformation_epsilon=1e-12,
-                        euclidean_fitness_epsilon=1e-12,
-                        mse_threshold_absolute=1e-16,
-                        variant="point_to_plane", huber_delta=0.003,
-                        compute_fitness=False, use_pallas=False,
-                        target_chunk=16384,
-                    ),
-                    ICPConfig(
-                        max_iterations=3, max_correspondence_distance=0.02,
-                        transformation_epsilon=1e-12,
-                        euclidean_fitness_epsilon=1e-12,
-                        mse_threshold_absolute=1e-16,
-                        variant="point_to_plane", huber_delta=0.001,
-                        compute_fitness=False, use_pallas=False,
-                        target_chunk=16384,
-                    ),
-                ),
-            ),
-            coarse_guard_cap=0.1,
-        )
+        from rspc_tpu.presets import north_star_config
+
+        ns_config = north_star_config()
 
         def err_of(scheme):
             totals = np.asarray(scheme.total_transforms)
@@ -171,9 +140,7 @@ def main():
         thetas = seq.thetas()
 
         def run3():
-            s = ICPEdgeBasedRegistration(
-                thetas=thetas, config=PipelineConfig(**common)
-            )
+            s = ICPEdgeBasedRegistration(thetas=thetas, config=ns_config)
             r = s.registration(clouds)
             jax.block_until_ready(r.xyz)
             return s
@@ -189,9 +156,7 @@ def main():
 
     if 4 in which:
         def run4():
-            s = NDTEdgeBasedRegistration(
-                rads=yaw, config=PipelineConfig(**common)
-            )
+            s = NDTEdgeBasedRegistration(rads=yaw, config=ns_config)
             r = s.registration(clouds)
             jax.block_until_ready(r.xyz)
             return s

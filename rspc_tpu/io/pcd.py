@@ -257,11 +257,15 @@ def save_pcd(
     ``mode``: "ascii" | "binary" | "binary_compressed".
     For unorganized clouds with ``keep_invalid=False``, only valid points are
     written (PCL's dynamically-sized clouds have no padding); with
-    ``keep_invalid=True`` every stored row is written VERBATIM — invalid
-    rows (z == 0 under our load convention) keep their coordinates, so the
-    reference's own sample files round-trip losslessly like they do
-    through PCL. Organized clouds always keep their full grid, with
-    invalid pixels as NaN (PCL's organized-cloud convention).
+    ``keep_invalid=True`` invalid rows keep their stored coordinates —
+    so the reference's own sample files (all-z==0 points, invalid under
+    our load convention) round-trip losslessly like they do through PCL —
+    EXCEPT rows at exactly the origin, which are capacity padding /
+    no-data markers (librealsense uses the origin for invalid depth) and
+    are written as NaN so PCL consumers skip them instead of seeing
+    phantom points clustered at (0,0,0). Organized clouds always keep
+    their full grid, with invalid pixels as NaN (PCL's organized-cloud
+    convention).
     """
     organized = isinstance(cloud, OrganizedCloud)
     if organized:
@@ -276,6 +280,9 @@ def save_pcd(
         valid = np.asarray(cloud.valid)
         if not keep_invalid:
             xyz, rgb = xyz[valid], rgb[valid]
+        else:
+            xyz = xyz.copy()
+            xyz[~valid & (xyz == 0.0).all(axis=-1)] = np.nan
         width, height = xyz.shape[0], 1
 
     n = xyz.shape[0]

@@ -1,0 +1,88 @@
+"""Shared pipeline presets.
+
+``north_star_config()`` is THE configuration measured by ``bench.py``
+(the BASELINE.json north-star workload) and re-used by
+``benchmarks/workloads.py`` — one definition so the RESULTS.md table and
+the bench can never drift apart. Rationale for each knob lives in the
+inline comments.
+"""
+
+from __future__ import annotations
+
+from rspc_tpu.config import (
+    EdgeConfig,
+    ICPConfig,
+    NDTConfig,
+    PipelineConfig,
+    RefineConfig,
+    VoxelConfig,
+)
+
+
+def north_star_config() -> PipelineConfig:
+    """Reference algorithmic defaults with TPU capacity/accuracy knobs
+    sized for the 10-frame 640x480 north-star workload."""
+    return PipelineConfig(
+        icp=ICPConfig(target_chunk=4096),
+        # DIRECT7-style neighborhood: ~4x fewer gathers in the NDT score
+        # path for near-identical optima (the coarse guard + refine stage
+        # absorb the residual difference). 4096-point uniform subsample:
+        # the coarse stage only has to land inside the fine stage's
+        # basin, and every Newton pass is linear in the source count.
+        ndt=NDTConfig(neighborhood=7, max_source_points=4096),
+        # only the RGB_CANNY class feeds registration (the reference
+        # computes all five but consumes one — PCL setEdgeType analog)
+        edge=EdgeConfig(max_edge_points=16384, edge_types=("rgb_canny",)),
+        voxel=VoxelConfig(leaf_size=0.01, max_points=10240),
+        # Beyond-reference accuracy stages: drift-free anchoring of every
+        # frame against frame 0 on full voxel-downsampled clouds (edge
+        # points are pixel-grid samples whose in-plane bias caps
+        # point-to-point accuracy at a few mm; see RefineConfig).
+        refine=RefineConfig(
+            enabled=True, leaf_size=0.04, max_points=10240,
+            # 2x2 pixel decimation before the 4 cm voxel means: a voxel
+            # spans >10 px/axis at these depths, so the means keep dozens
+            # of samples each while the downsample traffic drops 4x.
+            decimate=2,
+            # Drop crease voxels (cells straddling two surfaces): their
+            # means lie on neither plane and their averaged normals point
+            # nowhere, which fed the anchor stage a consistent bias that
+            # DRAGGED frames off sub-mm starts (measured: one frame
+            # drifted monotonically to 4e-3 before this filter; 4e-4
+            # after).
+            normal_purity=0.995,
+            # anchor-only: the drift-free per-frame anchoring subsumes
+            # the in-chain refinement (same accuracy, one fewer p2l stage
+            # per pair inside the scan); annealed wide->tight caps
+            # converge in 3+3 iterations from chain-initialized starts
+            chain=False, anchor_to_first=True,
+            anchor_stages=(
+                ICPConfig(
+                    max_iterations=3,
+                    max_correspondence_distance=0.05,
+                    transformation_epsilon=1e-12,
+                    euclidean_fitness_epsilon=1e-12,
+                    mse_threshold_absolute=1e-16,
+                    variant="point_to_plane",
+                    huber_delta=0.003,
+                    compute_fitness=False,
+                    use_pallas=False,
+                    target_chunk=16384,
+                ),
+                ICPConfig(
+                    max_iterations=3,
+                    max_correspondence_distance=0.02,
+                    transformation_epsilon=1e-12,
+                    euclidean_fitness_epsilon=1e-12,
+                    mse_threshold_absolute=1e-16,
+                    variant="point_to_plane",
+                    huber_delta=0.001,
+                    compute_fitness=False,
+                    use_pallas=False,
+                    target_chunk=16384,
+                ),
+            ),
+        ),
+        # Never let the 1 m-resolution NDT stage worsen a good guess.
+        coarse_guard_cap=0.1,
+    )

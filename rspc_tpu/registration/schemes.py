@@ -194,26 +194,47 @@ def _ndt_pair_step(
     return coarse, fine, fine_aligned
 
 
+@partial(jax.jit, static_argnames=("use_ndt",))
+def _imu_guesses(thetas, use_ndt: bool):
+    """[n-1,4,4] IMU initial guesses, one vmapped launch (module-level
+    jit so repeated registration() calls hit the trace cache)."""
+    guess_fn = imu_guess_y if use_ndt else imu_guess_full
+    return jax.vmap(guess_fn)(relative_thetas(thetas)[1:])
+
+
+def _nn_sweep(src_xyz, src_valid, tgt_xyz, tgt_valid, use_pallas=True,
+              chunk=None):
+    """Backend-dispatched NN sweep: the Pallas kernel on TPU, the XLA
+    chunked sweep elsewhere (or when ``use_pallas=False`` — needed under
+    vmap: the Pallas kernel's scalar-prefetch grid has no batching
+    rule). The single place that encodes this choice."""
+    from rspc_tpu.ops.nn import nearest_neighbors
+
+    if use_pallas and jax.default_backend() == "tpu":
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+
+        return nearest_neighbors_pallas(src_xyz, src_valid, tgt_xyz, tgt_valid)
+    kw = {} if chunk is None else {"chunk": chunk}
+    return nearest_neighbors(src_xyz, src_valid, tgt_xyz, tgt_valid, **kw)
+
+
+def _capped_sum(d2, valid, cap: float):
+    """Sum of min(NN dist^2, cap^2) over valid rows, and the row count."""
+    cap2 = cap * cap
+    d2c = jnp.minimum(jnp.where(jnp.isfinite(d2), d2, cap2), cap2)
+    w = valid.astype(d2.dtype)
+    return jnp.sum(d2c * w), jnp.sum(w)
+
+
 def _capped_mean_sq(
     src: Cloud, tgt: Cloud, cap: float, use_pallas: bool = True
 ) -> jax.Array:
     """Mean of min(NN dist^2, cap^2) over valid source points — the
     monotone alignment score the acceptance/guard gates compare. Far /
-    unmatched points saturate at the cap instead of dominating.
-    ``use_pallas=False`` forces the XLA sweep (needed under vmap: the
-    Pallas kernel's scalar-prefetch grid has no batching rule)."""
-    from rspc_tpu.ops.nn import nearest_neighbors
-
-    cap2 = cap * cap
-    if use_pallas and jax.default_backend() == "tpu":
-        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
-
-        d2, _ = nearest_neighbors_pallas(src.xyz, src.valid, tgt.xyz, tgt.valid)
-    else:
-        d2, _ = nearest_neighbors(src.xyz, src.valid, tgt.xyz, tgt.valid)
-    d2c = jnp.minimum(jnp.where(jnp.isfinite(d2), d2, cap2), cap2)
-    w = src.valid.astype(src.xyz.dtype)
-    return jnp.sum(d2c * w) / jnp.maximum(jnp.sum(w), 1.0)
+    unmatched points saturate at the cap instead of dominating."""
+    d2, _ = _nn_sweep(src.xyz, src.valid, tgt.xyz, tgt.valid, use_pallas)
+    s, n = _capped_sum(d2, src.valid, cap)
+    return s / jnp.maximum(n, 1.0)
 
 
 def _guard_transform(candidate_t, fallback_t, cloud: Cloud, tgt: Cloud, cap):
@@ -232,21 +253,10 @@ def _guard_transform(candidate_t, fallback_t, cloud: Cloud, tgt: Cloud, cap):
         axis=0,
     )
     both_valid = jnp.concatenate([cloud.valid, cloud.valid], axis=0)
-    from rspc_tpu.ops.nn import nearest_neighbors
-
-    if jax.default_backend() == "tpu":
-        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
-
-        d2, _ = nearest_neighbors_pallas(both, both_valid, tgt.xyz, tgt.valid)
-    else:
-        d2, _ = nearest_neighbors(both, both_valid, tgt.xyz, tgt.valid)
-    cap2 = cap * cap
-    d2c = jnp.minimum(jnp.where(jnp.isfinite(d2), d2, cap2), cap2)
+    d2, _ = _nn_sweep(both, both_valid, tgt.xyz, tgt.valid)
     n = cloud.capacity
-    w = cloud.valid.astype(cloud.xyz.dtype)
-    denom = jnp.maximum(jnp.sum(w), 1.0)
-    s_cand = jnp.sum(d2c[:n] * w) / denom
-    s_fall = jnp.sum(d2c[n:] * w) / denom
+    s_cand, _ = _capped_sum(d2[:n], cloud.valid, cap)
+    s_fall, _ = _capped_sum(d2[n:], cloud.valid, cap)
     return jnp.where(s_cand <= s_fall, candidate_t, fallback_t)
 
 
@@ -285,14 +295,7 @@ def _inlier_stats(src: Cloud, tgt: Cloud, radius: float, use_pallas: bool):
     """(inlier count, inlier mean sq dist) within ``radius`` — the
     overlap-aware gate metric for anchor refinement (a global capped
     mean is saturation-dominated when src and tgt overlap partially)."""
-    from rspc_tpu.ops.nn import nearest_neighbors
-
-    if use_pallas and jax.default_backend() == "tpu":
-        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
-
-        d2, _ = nearest_neighbors_pallas(src.xyz, src.valid, tgt.xyz, tgt.valid)
-    else:
-        d2, _ = nearest_neighbors(src.xyz, src.valid, tgt.xyz, tgt.valid)
+    d2, _ = _nn_sweep(src.xyz, src.valid, tgt.xyz, tgt.valid, use_pallas)
     inl = src.valid & jnp.isfinite(d2) & (d2 < radius * radius)
     n = jnp.sum(inl.astype(src.xyz.dtype))
     mean_sq = jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(n, 1.0)
@@ -330,16 +333,8 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
     dtype = fulls.xyz.dtype
 
     def nn_flat(xyz_flat):
-        from rspc_tpu.ops.nn import nearest_neighbors
-
         flat_valid = fulls.valid.reshape(b * n_pts)
-        if jax.default_backend() == "tpu":
-            from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
-
-            return nearest_neighbors_pallas(
-                xyz_flat, flat_valid, anchor.xyz, anchor.valid
-            )
-        return nearest_neighbors(
+        return _nn_sweep(
             xyz_flat, flat_valid, anchor.xyz, anchor.valid, chunk=2048
         )
 
@@ -880,6 +875,16 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                     pick(out["full_down"], i) for i in range(n)
                 ]
 
+    def _settle_fused(self):
+        """Materialize any pending fused output, then drop the cache —
+        called by both setters so an explicit assignment can never be
+        overwritten by later lazy materialization, regardless of which
+        attribute is assigned first."""
+        if getattr(self, "_fused_out", None) is not None:
+            if getattr(self, "_results", None) is None:
+                self._materialize_fused()
+            self._fused_out = None
+
     @property
     def results(self):
         if getattr(self, "_fused_out", None) is not None:
@@ -888,8 +893,8 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
 
     @results.setter
     def results(self, v):
+        self._settle_fused()
         self._results = v
-        self._fused_out = None
 
     @property
     def refine_results(self):
@@ -899,6 +904,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
 
     @refine_results.setter
     def refine_results(self, v):
+        self._settle_fused()
         self._refine_results = v
 
     def extract_features(self, cloud):
@@ -936,16 +942,6 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             self._full_down = [idx(full, i) for i in range(len(clouds))]
         return [idx(batched, i) for i in range(len(clouds))]
 
-    def _guess(self, idx: int, rel_thetas, acc_rads: float):
-        if self.use_imu:
-            theta = rel_thetas[idx]
-            return (
-                imu_guess_full(theta)
-                if not self.use_ndt_coarse
-                else imu_guess_y(theta)
-            )
-        return static_y_guess(acc_rads)
-
     def _guesses(self, n: int):
         """Stacked [n-1,4,4] initial guesses. The static-guess accumulator
         advances for every frame, converged or not (reference :98-101), so
@@ -963,12 +959,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             t[:, 2, 0] = -s
             t[:, 2, 2] = c
             return jnp.asarray(t)
-        guess_fn = (
-            imu_guess_full if not self.use_ndt_coarse else imu_guess_y
-        )
-        return jax.jit(
-            lambda th: jax.vmap(guess_fn)(relative_thetas(th)[1:])
-        )(self.thetas)
+        return _imu_guesses(self.thetas, self.use_ndt_coarse)
 
     def _dump_edges(self, edges: List[Cloud], target: Cloud | None):
         if not (self.saves_edge_pcds and self.dataset_dir is not None):
@@ -1186,6 +1177,31 @@ def _incremental_step(target: Cloud, cloud: Cloud, icp_cfg, leaf, voxel_cap):
     return res, transformed
 
 
+@partial(jax.jit, static_argnames=("icp_cfg", "leaf", "voxel_cap", "cap"))
+def _incremental_scan(stacked: Cloud, icp_cfg, leaf, voxel_cap, cap):
+    """The whole incremental chain as ONE program: phase-0 downsamples
+    batched up front (they are target-independent), then a ``lax.scan``
+    whose carry is the accumulated full-resolution target. The per-pair
+    convergence gate folds into the merge scatter — the Python loop's
+    ``bool(res.converged)`` costs a host round trip per pair."""
+    first = jax.tree.map(lambda x: x[0], stacked)
+    rest = jax.tree.map(lambda x: x[1:], stacked)
+    target = merge_append(Cloud.empty(cap), first)
+    src_downs = jax.vmap(lambda c: voxel_downsample(c, leaf, voxel_cap))(
+        rest
+    )
+
+    def body(target, x):
+        src_down, cloud_i = x
+        res = icp_align(src_down, target, icp_cfg)
+        transformed = apply_transform_cloud(res.transform, cloud_i)
+        target = merge_append(target, transformed, gate=res.converged)
+        return target, res
+
+    target, results = jax.lax.scan(body, target, (src_downs, rest))
+    return target, results
+
+
 class IncrementalICP(RegistrationScheme):
     """Plain (non-edge) incremental registration (reference C3,
     src/incremental_icp.hpp): per cloud i >= 1, voxel-downsample the source,
@@ -1200,6 +1216,21 @@ class IncrementalICP(RegistrationScheme):
         cfg = self.config
         clouds = [_as_unorganized(c) for c in clouds]
         cap = sum(c.capacity for c in clouds)
+        n = len(clouds)
+        if (
+            cfg.use_scan
+            and n >= 2
+            and len({c.capacity for c in clouds}) == 1
+            and len({c.normal is None for c in clouds}) == 1
+        ):
+            stacked = jax.tree.map(lambda *x: jnp.stack(x), *clouds)
+            target, results = _incremental_scan(
+                stacked, cfg.icp, cfg.voxel.leaf_size, cfg.voxel.max_points,
+                cap,
+            )
+            pick = lambda i: jax.tree.map(lambda x: x[i], results)
+            self.results = [pick(i) for i in range(n - 1)]
+            return target
         target = merge_append(Cloud.empty(cap), clouds[0])
         self.results = []
         for idx in range(1, len(clouds)):

@@ -1,5 +1,6 @@
 """PCD I/O tests: round trips + parity with the reference's sample files."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -120,3 +121,26 @@ def test_binary_matches_pcl_layout(tmp_path):
     assert rec[:3].tolist() == [1.0, 2.0, 3.0]
     packed = rec[3:4].view(np.uint32)[0]
     assert packed == (255 << 16) | (128 << 8) | 1
+
+
+def test_save_padding_rows_as_nan(tmp_path):
+    # fixed-capacity padding (invalid rows at the exact origin) must not
+    # become phantom (0,0,0) points for PCL consumers; genuine z==0 rows
+    # keep their coordinates (see test_roundtrip_reference_sample_verbatim)
+    xyz = np.array(
+        [[1.0, 2.0, 3.0], [0.5, -0.5, 0.0], [0.0, 0.0, 0.0]], np.float32
+    )
+    c = Cloud(
+        jnp.asarray(xyz),
+        jnp.zeros((3, 3), jnp.float32),
+        jnp.asarray([True, False, False]),
+    )
+    p = tmp_path / "pad.pcd"
+    save_pcd(p, c, mode="ascii")
+    raw = p.read_text().splitlines()[-1].split()
+    assert raw[0] == "nan"  # padding row -> NaN
+    c2 = load_pcd(p)
+    got = np.asarray(c2.xyz)
+    np.testing.assert_allclose(got[0], xyz[0])
+    np.testing.assert_allclose(got[1], xyz[1])  # z==0 row kept verbatim
+    assert not np.asarray(c2.valid)[1] and not np.asarray(c2.valid)[2]
