@@ -228,3 +228,39 @@ def test_hysteresis_line_flood_matches_dilation():
     for _ in range(200):
         ref = ref | (weak & _dilate8(ref))
     np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_estimate_normals_radius_plane_oracle():
+    # radius-search normals on an unorganized tilted plane: every point's
+    # neighborhood covariance must yield the plane normal (PCL
+    # NormalEstimation + radiusSearch semantics)
+    from rspc_tpu.cloud import Cloud
+    from rspc_tpu.ops.normals import estimate_normals_radius
+
+    rng = np.random.default_rng(3)
+    uv = rng.uniform(-0.5, 0.5, (400, 2)).astype(np.float32)
+    n_true = np.array([1.0, 2.0, -2.0], np.float32)
+    n_true /= np.linalg.norm(n_true)
+    e1 = np.cross(n_true, [0.0, 0.0, 1.0]); e1 /= np.linalg.norm(e1)
+    e2 = np.cross(n_true, e1)
+    pts = (uv[:, :1] * e1 + uv[:, 1:] * e2 + [0.0, 0.0, 2.0]).astype(np.float32)
+    c = Cloud.from_numpy(pts, valid=np.ones(len(pts), bool))
+    nrm, ok = estimate_normals_radius(c, radius=0.15, chunk=128)
+    nrm, ok = np.asarray(nrm), np.asarray(ok)
+    assert ok.all()
+    # flipped toward origin viewpoint: n . p < 0
+    assert (np.einsum("ij,ij->i", nrm, pts) <= 1e-6).all()
+    ref = n_true if (n_true @ [0, 0, 2.0]) < 0 else -n_true
+    err = np.abs(nrm - ref).max()
+    assert err < 1e-3, err
+
+
+def test_estimate_normals_radius_too_few_neighbors():
+    from rspc_tpu.cloud import Cloud
+    from rspc_tpu.ops.normals import estimate_normals_radius
+
+    pts = np.array([[0, 0, 1.0], [5, 5, 5.0]], np.float32)  # isolated pair
+    c = Cloud.from_numpy(pts, valid=np.ones(2, bool))
+    nrm, ok = estimate_normals_radius(c, radius=0.05, chunk=128)
+    assert not np.asarray(ok).any()
+    assert (np.asarray(nrm) == 0).all()
