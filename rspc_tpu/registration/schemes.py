@@ -105,6 +105,28 @@ def merge_append(dst: Cloud, src: Cloud, gate=None) -> Cloud:
     )
 
 
+def _block_append(dst: Cloud, src: Cloud, offset, gate=None) -> Cloud:
+    """Append ``src``'s WHOLE fixed-capacity buffer (invalid rows carried
+    along masked) at ``offset`` — a contiguous ``dynamic_update_slice``
+    instead of merge_append's compacting row scatter. The written SET of
+    valid points is identical, only slot layout differs (interior holes),
+    which every consumer masks; measured ~5x cheaper than the scatter on
+    multi-MB carry buffers inside a scan. Caller guarantees
+    ``offset + src.capacity <= dst.capacity``."""
+    valid = src.valid if gate is None else src.valid & gate
+    dus = jax.lax.dynamic_update_slice
+    return Cloud(
+        xyz=dus(dst.xyz, src.xyz, (offset, 0)),
+        rgb=dus(dst.rgb, src.rgb, (offset, 0)),
+        valid=dus(dst.valid, valid, (offset,)),
+        normal=(
+            dus(dst.normal, src.normal, (offset, 0))
+            if dst.normal is not None and src.normal is not None
+            else dst.normal
+        ),
+    )
+
+
 def _as_unorganized(c) -> Cloud:
     return c.flatten() if isinstance(c, OrganizedCloud) else c
 
@@ -626,7 +648,12 @@ def _chain_scan(
         conv = fine.converged
         edge_total = apply_transform_cloud(total, edge_i)
         # gates fold into the scatters: not-converged frames append
-        # nothing / add zero moments, keeping every carry in place
+        # nothing / add zero moments, keeping every carry in place.
+        # (A _block_append variant was measured here: the sparser target
+        # blocks cost MORE in NN sweep coverage than the compacting
+        # scatter they replace — the dense-prefix target keeps the NN
+        # kernel's live bound tight. The incremental full-cloud chain has
+        # the opposite trade: see _incremental_scan.)
         target = merge_append(target, edge_total, gate=conv)
         if use_ndt:
             moments = ndt_grid_update_moments(
