@@ -127,3 +127,41 @@ def test_edge_scheme_rejects_unorganized():
     scheme = ICPEdgeBasedRegistration(config=_small_config())
     with pytest.raises(ValueError, match="organized"):
         scheme.extract_features(c)
+
+
+def test_fused_and_loop_paths_agree(seq):
+    # The one-program fused path (default) and the per-frame Python loop
+    # (use_scan=False) must produce the same registration: same converged
+    # flags, numerically identical per-pair transforms.
+    from rspc_tpu.config import RefineConfig
+
+    clouds = seq.clouds()
+    refine = RefineConfig(
+        enabled=True, leaf_size=0.1, max_points=1024, chain=False,
+        anchor_to_first=True,
+        anchor_stages=(
+            ICPConfig(
+                max_iterations=2, max_correspondence_distance=0.2,
+                transformation_epsilon=1e-12,
+                euclidean_fitness_epsilon=1e-12,
+                mse_threshold_absolute=1e-16,
+                variant="point_to_plane", huber_delta=0.01,
+                compute_fitness=False, use_pallas=False, target_chunk=512,
+            ),
+        ),
+    )
+    results = {}
+    for scan in (True, False):
+        cfg = _small_config(refine=refine, use_scan=scan)
+        sch = NDTEdgeBasedRegistration(rads=seq.yaw_step, config=cfg)
+        out = sch.registration(clouds)
+        results[scan] = (
+            np.asarray(sch.total_transforms),
+            [bool(f.converged) for _, f in sch.results],
+            int(out.count()),
+        )
+    t_scan, conv_scan, n_scan = results[True]
+    t_loop, conv_loop, n_loop = results[False]
+    assert conv_scan == conv_loop
+    np.testing.assert_allclose(t_scan, t_loop, rtol=0, atol=2e-4)
+    assert n_scan == n_loop
