@@ -29,7 +29,14 @@ def north_star_config() -> PipelineConfig:
         # absorb the residual difference). 4096-point uniform subsample:
         # the coarse stage only has to land inside the fine stage's
         # basin, and every Newton pass is linear in the source count.
-        ndt=NDTConfig(neighborhood=7, max_source_points=4096),
+        # transformation_epsilon 2.5x the PCL default: the coarse stage
+        # only needs to reach the fine/anchor stages' basin, and the last
+        # few Newton+line-search passes per pair are pure overhead there.
+        ndt=NDTConfig(
+            neighborhood=7,
+            max_source_points=4096,
+            transformation_epsilon=0.025,
+        ),
         # only the RGB_CANNY class feeds registration (the reference
         # computes all five but consumes one — PCL setEdgeType analog)
         edge=EdgeConfig(max_edge_points=16384, edge_types=("rgb_canny",)),

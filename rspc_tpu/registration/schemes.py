@@ -362,10 +362,7 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
 
     src0 = jax.vmap(apply_transform_cloud)(totals, fulls)  # [B,N,...]
 
-    def inlier_stats(xyz_b):
-        d2, idx = nn_flat(xyz_b.reshape(b * n_pts, 3))
-        d2 = d2.reshape(b, n_pts)
-        idx = idx.reshape(b, n_pts)
+    def stats_from(d2, idx, xyz_b):
         inl = fulls.valid & jnp.isfinite(d2) & (d2 < gate_radius**2)
         cnt = jnp.sum(inl.astype(dtype), axis=1)
         msq = jnp.sum(jnp.where(inl, d2, 0.0), axis=1) / jnp.maximum(cnt, 1.0)
@@ -383,14 +380,26 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
         pmsq = jnp.where(cnt > 0, pmsq, jnp.asarray(jnp.inf, dtype))
         return cnt, msq, pmsq
 
+    def inlier_stats(xyz_b):
+        d2, idx = nn_flat(xyz_b.reshape(b * n_pts, 3))
+        return stats_from(
+            d2.reshape(b, n_pts), idx.reshape(b, n_pts), xyz_b
+        )
+
     rel = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (b, 4, 4))
     cur = src0.xyz
+    before_stats = None
     for stage_cfg in stages:
         mcd2 = stage_cfg.max_correspondence_distance**2
         for _ in range(stage_cfg.max_iterations):
             d2, idx = nn_flat(cur.reshape(b * n_pts, 3))
             d2 = d2.reshape(b, n_pts)
             idx = idx.reshape(b, n_pts)
+            if before_stats is None:
+                # the very first sweep runs at the src0 poses — exactly
+                # the acceptance gate's "before" measurement; reuse it
+                # instead of re-sweeping the anchor at the end
+                before_stats = stats_from(d2, idx, cur)
             w = (
                 (d2 <= mcd2) & fulls.valid & jnp.isfinite(d2)
             ).astype(dtype)
@@ -448,7 +457,10 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
     # exactly the ones with the largest ground-truth error). Point rmse
     # keeps only a 1.5x blow-up guard against in-plane slip on
     # low-structure scenes where the plane residual alone is blind.
-    nb, rb, pb = inlier_stats(src0.xyz)
+    nb, rb, pb = (
+        before_stats if before_stats is not None
+        else inlier_stats(src0.xyz)  # zero-iteration stage schedule
+    )
     na, ra, pa = inlier_stats(cur)
     accepted = (na >= nb * 0.95) & (pa <= pb * margin) & (ra <= rb * 1.5)
     refined = jnp.einsum("bij,bjk->bik", rel, totals)
