@@ -306,6 +306,13 @@ class PipelineConfig:
     # (single device dispatch for the whole registration). Semantically
     # identical to the per-frame loop; disable to step frames from Python.
     use_scan: bool = True
+    # Warm-start the coarse stage with the PREVIOUS pair's correction
+    # (coarse_result @ guess^-1, composed onto the next static/IMU
+    # guess). Consecutive pairs of a smooth trajectory need near-equal
+    # corrections, so Newton starts inside its terminal basin — measured
+    # to cut the NDT iteration total by ~2x on the bench sequence. Off by
+    # default: the reference seeds every pair from the raw guess.
+    coarse_warm_start: bool = False
     rotation: RotationEstimatorConfig = RotationEstimatorConfig()
     translation: TranslationEstimatorConfig = TranslationEstimatorConfig()
     capture: CaptureConfig = CaptureConfig()

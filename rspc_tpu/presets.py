@@ -37,6 +37,10 @@ def north_star_config() -> PipelineConfig:
             max_source_points=4096,
             transformation_epsilon=0.025,
         ),
+        # coarse_warm_start is left OFF: measured no wall-time gain here
+        # (the looser NDT epsilon already removed the tail iterations) and
+        # with it on, the never-worsen guard's fallback is the WARMED
+        # guess — a contaminated correction would poison both hypotheses.
         # only the RGB_CANNY class feeds registration (the reference
         # computes all five but consumes one — PCL setEdgeType analog)
         edge=EdgeConfig(max_edge_points=16384, edge_types=("rgb_canny",)),

@@ -561,6 +561,7 @@ def _assemble_global(originals, totals, converged):
         "refine_target_cap",
         "coarse_guard_cap",
         "refine_margin",
+        "warm_start",
     ),
 )
 def _chain_scan(
@@ -577,6 +578,7 @@ def _chain_scan(
     refine_target_cap: int,
     coarse_guard_cap: float,
     refine_margin: float = 0.75,
+    warm_start: bool = False,
 ):
     """The whole phase-2 frame chain as ONE compiled program.
 
@@ -630,9 +632,16 @@ def _chain_scan(
     coarse_icp_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
 
     def body(carry, x):
-        target, moments, target_full = carry
+        target, moments, target_full, corr = carry
         edge_i, full_i, guess = x
 
+        raw_guess = guess
+        if warm_start:
+            # seed with the previous pair's correction (PipelineConfig
+            # .coarse_warm_start): consecutive pairs of a smooth
+            # trajectory share their guess error, so Newton/ICP starts
+            # inside its terminal basin
+            guess = corr @ guess
         if use_ndt:
             grid = ndt_grid_from_moments(moments, origin, ndt_cfg)
             coarse = ndt_align(edge_i, grid, ndt_cfg, guess)
@@ -677,15 +686,32 @@ def _chain_scan(
                 apply_transform_cloud(total, full_i),
                 gate=conv,
             )
-        return (target, moments, target_full), (coarse, fine, ref, total)
+        if warm_start:
+            # correction = achieved coarse transform vs this pair's RAW
+            # guess; composing it onto the next raw guess carries the
+            # trajectory's systematic drift forward (inverting the warmed
+            # guess instead would divide out the previous correction and
+            # never converge to the drift)
+            r = raw_guess[:3, :3]
+            inv_g = (
+                jnp.eye(4, dtype=raw_guess.dtype)
+                .at[:3, :3].set(r.T)
+                .at[:3, 3].set(-r.T @ raw_guess[:3, 3])
+            )
+            corr = coarse.transform @ inv_g
+        return (
+            (target, moments, target_full, corr),
+            (coarse, fine, ref, total),
+        )
 
     xs = (
         rest(edges_down),
         rest(full_all) if refine else (),  # () scans as an empty pytree
         guesses,
     )
-    (target, moments, target_full), ys = jax.lax.scan(
-        body, (target, moments, target_full), xs
+    eye4 = jnp.eye(4, dtype=guesses.dtype)
+    (target, moments, target_full, _), ys = jax.lax.scan(
+        body, (target, moments, target_full, eye4), xs
     )
     coarse_s, fine_s, ref_s, totals = ys
     return {
@@ -710,6 +736,7 @@ def _chain_scan(
         "leaf",
         "voxel_cap",
         "coarse_guard_cap",
+        "warm_start",
     ),
 )
 def _registration_fused(
@@ -723,6 +750,7 @@ def _registration_fused(
     leaf: float,
     voxel_cap: int,
     coarse_guard_cap: float,
+    warm_start: bool = False,
 ):
     """The ENTIRE registration — phase-1 feature extraction, the phase-2
     frame chain, anchor refinement, and global-cloud assembly — as ONE
@@ -754,6 +782,7 @@ def _registration_fused(
         r.max_points * n,
         coarse_guard_cap,
         r.accept_margin,
+        warm_start,
     )
     totals = out["totals"]
     accepted = ()
@@ -870,6 +899,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             cfg.voxel.leaf_size,
             cfg.voxel.max_points,
             cfg.coarse_guard_cap,
+            cfg.coarse_warm_start,
         )
         # Per-frame diagnostics (results / refine_results / _full_down)
         # materialize LAZILY on first attribute access: slicing the
@@ -1061,6 +1091,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             cfg.refine.max_points * n,
             cfg.coarse_guard_cap,
             cfg.refine.accept_margin,
+            cfg.coarse_warm_start,
         )
 
         pick = lambda t, i: jax.tree.map(lambda x: x[i], t)
@@ -1122,8 +1153,11 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         self.results = []
         self.refine_results = []
         totals = []
+        corr = jnp.eye(4, dtype=jnp.float32)
         for idx in range(1, n):
-            guess = guesses[idx - 1]
+            raw_guess = guess = guesses[idx - 1]
+            if cfg.coarse_warm_start:
+                guess = corr @ guess  # see _chain_scan warm-start note
             if self.use_ndt_coarse:
                 coarse, fine, fine_aligned = _ndt_pair_step(
                     target, edges[idx], guess, cfg.ndt, cfg.icp,
@@ -1134,6 +1168,14 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                     target, edges[idx], guess, cfg.icp,
                     cfg.voxel.leaf_size, voxel_cap, cfg.coarse_guard_cap,
                 )
+            if cfg.coarse_warm_start:
+                r3 = raw_guess[:3, :3]
+                inv_g = (
+                    jnp.eye(4, dtype=raw_guess.dtype)
+                    .at[:3, :3].set(r3.T)
+                    .at[:3, 3].set(-r3.T @ raw_guess[:3, 3])
+                )
+                corr = coarse.transform @ inv_g
             self.results.append((coarse, fine))
             total = fine.transform @ coarse.transform
             if refine_on:

@@ -152,7 +152,10 @@ def test_fused_and_loop_paths_agree(seq):
     )
     results = {}
     for scan in (True, False):
-        cfg = _small_config(refine=refine, use_scan=scan)
+        # coarse_warm_start exercises the correction carry in BOTH paths
+        cfg = _small_config(
+            refine=refine, use_scan=scan, coarse_warm_start=True
+        )
         sch = NDTEdgeBasedRegistration(rads=seq.yaw_step, config=cfg)
         out = sch.registration(clouds)
         results[scan] = (
