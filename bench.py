@@ -40,6 +40,27 @@ def main():
     yaw_step = -0.08
     log(f"platform: {jax.devices()[0]}")
 
+    # On-chip correctness proof for the compiled Pallas NN kernel
+    # (ops/nn_check.py): all adversarial cases share one shape, so this
+    # costs a single (cached) kernel compile. Recorded in the JSON line.
+    nn_selfcheck = "skipped (non-tpu backend)"
+    if jax.default_backend() == "tpu":
+        from rspc_tpu.ops.nn_check import adversarial_cases, run_nn_checks
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+
+        t0 = time.time()
+        fails = run_nn_checks(
+            lambda s, sv, t, tv: nearest_neighbors_pallas(s, sv, t, tv)
+        )
+        n_cases = len(adversarial_cases())
+        nn_selfcheck = (
+            f"ok ({n_cases} cases)" if not fails else "FAIL: " + "; ".join(fails)
+        )
+        log(
+            f"pallas NN on-chip selfcheck: {nn_selfcheck} "
+            f"({time.time()-t0:.1f}s)"
+        )
+
     seq = SyntheticSequence(
         n_frames=n_frames, yaw_step=yaw_step, intr=Intrinsics.simple(640, 480)
     )
@@ -98,6 +119,7 @@ def main():
                 "vs_baseline": round(target / value, 3),
                 "transform_err_vs_gt": max_err,
                 "all_converged": all(converged),
+                "nn_kernel_selfcheck": nn_selfcheck,
             }
         )
     )

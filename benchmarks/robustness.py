@@ -1,0 +1,190 @@
+"""Robustness matrix: registration accuracy across adversarial scenes.
+
+Round 1's accuracy evidence came from one friendly scene (high texture,
+noise-free, full overlap). This sweep (VERDICT r1 #5) measures the three
+registration schemes across depth noise, partial overlap, and low
+texture, using the synthetic generator's robustness knobs
+(capture/synthetic.py: DepthNoise, texture_contrast, translation_step).
+
+Usage:  python benchmarks/robustness.py [scenario ...]
+Emits one JSON line per (scenario, scheme) cell on stdout and a summary
+markdown table on stderr; RESULTS.md carries the recorded TPU matrix.
+The reference's robustness evidence is 12 qualitative screenshots
+(/root/reference/README.md:4-11, doc/img/) — this replaces it with
+curves."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def scenarios():
+    from rspc_tpu.capture.synthetic import DepthNoise
+
+    mild = DepthNoise(lateral_px=0.5, dropout=0.02)
+    heavy = DepthNoise(axial_a=0.002, axial_b=0.004, lateral_px=1.0, dropout=0.10)
+    return {
+        # name: (kwargs for SyntheticSequence, human description)
+        "clean": ({}, "round-1 scene: no noise, full texture, pure yaw"),
+        "noise_mild": (
+            {"noise": mild},
+            "axial 1mm+1.9mm/m^2, lateral 0.5px, 2% dropout",
+        ),
+        "noise_heavy": (
+            {"noise": heavy},
+            "axial 2mm+4mm/m^2, lateral 1px, 10% dropout",
+        ),
+        "partial_overlap": (
+            {"yaw_step": -0.25, "translation_step": (0.12, 0.0, 0.08)},
+            "14.3 deg/frame yaw + 14 cm/frame translation",
+        ),
+        "low_texture": (
+            {"texture_contrast": 0.15},
+            "texture contrast scaled to 15%",
+        ),
+        "combined": (
+            {
+                "noise": mild,
+                "yaw_step": -0.25,
+                "translation_step": (0.10, 0.0, 0.06),
+                "texture_contrast": 0.3,
+            },
+            "mild noise + partial overlap + 30% texture",
+        ),
+    }
+
+
+def main():
+    import jax
+
+    from rspc_tpu.capture.synthetic import SyntheticSequence
+    from rspc_tpu.cloud import Cloud
+    from rspc_tpu.ops.deproject import Intrinsics
+    from rspc_tpu.presets import north_star_config
+    from rspc_tpu.registration.schemes import (
+        ICPEdgeBasedRegistration,
+        IncrementalICP,
+        NDTEdgeBasedRegistration,
+    )
+
+    which = set(sys.argv[1:]) or set(scenarios())
+    n_frames = 10
+    config = north_star_config()
+    rows = []
+
+    for name, (kw, desc) in scenarios().items():
+        if name not in which:
+            continue
+        yaw = kw.get("yaw_step", -0.08)
+        kw = {k: v for k, v in kw.items() if k != "yaw_step"}
+        seq = SyntheticSequence(
+            n_frames=n_frames,
+            yaw_step=yaw,
+            intr=Intrinsics.simple(640, 480),
+            **kw,
+        )
+        clouds = seq.clouds()
+        jax.block_until_ready(clouds[-1].xyz)
+        gts = [seq.gt_transform(i) for i in range(1, n_frames)]
+
+        def err_of(totals, gts_n):
+            t = np.asarray(totals)
+            errs = [np.abs(t[i] - gts_n[i]).max() for i in range(len(gts_n))]
+            return float(np.max(errs)), float(np.mean(errs))
+
+        for scheme_name in ("ndt_edge", "icp_edge", "incremental"):
+            t0 = time.time()
+            try:
+                if scheme_name == "ndt_edge":
+                    s = NDTEdgeBasedRegistration(rads=yaw, config=config)
+                    r = s.registration(clouds)
+                elif scheme_name == "icp_edge":
+                    s = ICPEdgeBasedRegistration(rads=yaw, config=config)
+                    r = s.registration(clouds)
+                else:
+                    import dataclasses
+
+                    cfg5 = dataclasses.replace(
+                        config,
+                        icp=dataclasses.replace(
+                            config.icp, compute_fitness=False
+                        ),
+                    )
+                    # 6 frames like BASELINE workload 5 (the 10-frame
+                    # target capacity exceeds the Pallas kernel's VMEM
+                    # budget and would take the slower XLA fallback)
+                    flat = [
+                        Cloud(
+                            c.xyz.reshape(-1, 3),
+                            c.rgb.reshape(-1, 3),
+                            c.valid.reshape(-1),
+                        )
+                        for c in clouds[:6]
+                    ]
+                    s = IncrementalICP(cfg5)
+                    r = s.registration(flat)
+                jax.block_until_ready(r.xyz)
+            except Exception as e:  # record the cell, keep sweeping
+                log(f"{name:16s} {scheme_name:12s} FAILED: {e}")
+                rows.append(
+                    {
+                        "scenario": name,
+                        "scheme": scheme_name,
+                        "error": str(e)[:200],
+                    }
+                )
+                continue
+            wall = time.time() - t0
+
+            if scheme_name == "incremental":
+                # per-step transforms are already absolute (aligned
+                # against the accumulated frame-0 target)
+                totals = [np.asarray(res.transform) for res in s.results]
+                max_err, mean_err = err_of(np.stack(totals), gts[:5])
+                conv = [bool(res.converged) for res in s.results]
+            else:
+                max_err, mean_err = err_of(s.total_transforms, gts)
+                conv = [bool(f.converged) for _, f in s.results]
+
+            row = {
+                "scenario": name,
+                "scheme": scheme_name,
+                "max_err": max_err,
+                "mean_err": mean_err,
+                "converged": int(sum(conv)),
+                "pairs": len(conv),
+                "wall_s": round(wall, 3),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            log(
+                f"{name:16s} {scheme_name:12s} max_err={max_err:.2e} "
+                f"mean={mean_err:.2e} conv={sum(conv)}/{len(conv)} "
+                f"wall={wall:.2f}s"
+            )
+
+    log("\n| scenario | scheme | max err | mean err | converged |")
+    log("|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            log(f"| {r['scenario']} | {r['scheme']} | FAILED | | |")
+            continue
+        log(
+            f"| {r['scenario']} | {r['scheme']} | {r['max_err']:.2e} "
+            f"| {r['mean_err']:.2e} | {r['converged']}/{r['pairs']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

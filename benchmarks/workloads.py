@@ -46,9 +46,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import dataclasses
+
     from rspc_tpu.capture.synthetic import SyntheticSequence
     from rspc_tpu.cloud import Cloud
-    from rspc_tpu.config import EdgeConfig, ICPConfig
+    from rspc_tpu.config import EdgeConfig, ICPConfig, PipelineConfig
     from rspc_tpu.ops.deproject import Intrinsics
     from rspc_tpu.ops.edges import extract_organized_edges
     from rspc_tpu.ops.voxel import voxel_downsample
@@ -178,7 +180,16 @@ def main():
         ]
 
         def run5():
-            s = IncrementalICP()
+            # fitness off, like the reference: incremental_icp.hpp only
+            # reads hasConverged/getFinalTransformation, never
+            # getFitnessScore (PCL align() does not compute fitness).
+            cfg5 = dataclasses.replace(
+                PipelineConfig(),
+                icp=dataclasses.replace(
+                    PipelineConfig().icp, compute_fitness=False
+                ),
+            )
+            s = IncrementalICP(cfg5)
             r = s.registration(flat6)
             jax.block_until_ready(r.xyz)
             return s

@@ -121,21 +121,84 @@ def render_frame(pose_c2w: jnp.ndarray, intr: Intrinsics):
     return depth_z16, color
 
 
+@dataclasses.dataclass(frozen=True)
+class DepthNoise:
+    """RealSense-style depth sensor noise (VERDICT r1 #5: the round-1
+    scene was noise-free beyond Z16 quantization).
+
+    * axial: sigma_z(z) = axial_a + axial_b * z^2  [m] — the standard
+      stereo-depth error model (disparity noise maps to depth error
+      growing quadratically with range; D435-class defaults).
+    * lateral: Gaussian pixel jitter — depth is resampled at a jittered
+      pixel location, which turns surface gradients and object boundaries
+      into depth error exactly the way sensor lateral noise does.
+    * dropout: fraction of pixels invalidated at random (z = 0), on top
+      of whatever the renderer already marks invalid.
+
+    Applied deterministically per frame (seed + frame index)."""
+
+    axial_a: float = 0.001     # 1 mm floor
+    axial_b: float = 0.0019    # +1.9 mm at 1 m, +7.6 mm at 2 m
+    lateral_px: float = 0.0    # std of the pixel jitter
+    dropout: float = 0.0       # fraction of pixels dropped
+
+    def apply(self, depth_z16: np.ndarray, rng: np.random.Generator):
+        d = depth_z16.astype(np.float32) * 1e-3  # meters
+        h, w = d.shape
+        if self.lateral_px > 0:
+            vv, uu = np.meshgrid(
+                np.arange(h, dtype=np.float32),
+                np.arange(w, dtype=np.float32),
+                indexing="ij",
+            )
+            ju = np.clip(
+                np.rint(uu + rng.normal(0, self.lateral_px, d.shape)),
+                0,
+                w - 1,
+            ).astype(np.int64)
+            jv = np.clip(
+                np.rint(vv + rng.normal(0, self.lateral_px, d.shape)),
+                0,
+                h - 1,
+            ).astype(np.int64)
+            d = d[jv, ju]
+        valid = d > 0
+        if self.axial_a > 0 or self.axial_b > 0:
+            sigma = self.axial_a + self.axial_b * d * d
+            d = np.where(valid, d + rng.normal(0, 1, d.shape) * sigma, 0.0)
+        if self.dropout > 0:
+            d = np.where(rng.random(d.shape) < self.dropout, 0.0, d)
+        return np.clip(np.rint(d * 1000.0), 0, 65535).astype(np.uint16)
+
+
 @dataclasses.dataclass
 class SyntheticSequence:
     """A camera yawing in place at the room center: frame i pose =
-    base @ Ry(i * yaw_step). Mirrors the reference's turntable-style usage
-    (README's -30 deg/frame default guess).
+    base @ Ry(i * yaw_step), optionally translating by ``translation_step``
+    per frame (partial-overlap trajectories). Mirrors the reference's
+    turntable-style usage (README's -30 deg/frame default guess).
 
     Provides RGBD frames, ground-truth relative transforms (mapping frame-i
     points into frame-0 coordinates), and a consistent IMU stream with one
     (gyro, accel) pair per frameset at 2 s spacing (the reference's capture
-    throttle, src/capture.hpp:168-170)."""
+    throttle, src/capture.hpp:168-170).
+
+    Robustness knobs (VERDICT r1 #5):
+      * ``noise`` — DepthNoise model applied to every depth frame;
+      * ``texture_contrast`` — scales the procedural texture's contrast
+        about its mean (1.0 = round-1 scene; 0.15 = low-texture room that
+        starves the RGB-Canny edge extractor);
+      * ``translation_step`` — per-frame camera translation in world
+        coords (combined with yaw_step this produces partial-overlap
+        pairs instead of pure rotation about a fixed center)."""
 
     n_frames: int = 4
     yaw_step: float = -0.2  # rad per frame, about the camera y axis
     intr: Intrinsics = Intrinsics.simple(160, 120)
     seed: int = 0
+    noise: DepthNoise | None = None
+    texture_contrast: float = 1.0
+    translation_step: tuple = (0.0, 0.0, 0.0)
 
     def __post_init__(self):
         c = ROOM / 2.0
@@ -146,12 +209,14 @@ class SyntheticSequence:
         # unconstrained in t_y for plane-based solvers
         base[:3, 3] = [c, 1.2, c]
         self.poses = []
+        step = np.asarray(self.translation_step, np.float32)
         for i in range(self.n_frames):
             ry = np.asarray(
                 rotation_matrix(jnp.float32(i * self.yaw_step), 1)
             )
             p = base.copy()
             p[:3, :3] = base[:3, :3] @ ry
+            p[:3, 3] = base[:3, 3] + i * step
             self.poses.append(p)
 
     def gt_transform(self, i: int) -> np.ndarray:
@@ -160,8 +225,21 @@ class SyntheticSequence:
         return np.linalg.inv(self.poses[0]) @ self.poses[i]
 
     def frames(self):
-        for p in self.poses:
-            yield render_frame(jnp.asarray(p), self.intr)
+        for i, p in enumerate(self.poses):
+            depth, color = render_frame(jnp.asarray(p), self.intr)
+            if self.texture_contrast != 1.0:
+                c = np.asarray(color, np.float32)
+                mean = c.mean(axis=(0, 1), keepdims=True)
+                c = mean + self.texture_contrast * (c - mean)
+                color = jnp.asarray(
+                    np.clip(c, 0, 255).astype(np.uint8)
+                )
+            if self.noise is not None:
+                rng = np.random.default_rng(self.seed * 1000 + i)
+                depth = jnp.asarray(
+                    self.noise.apply(np.asarray(depth), rng)
+                )
+            yield depth, color
 
     def clouds(self, center_crop: bool = False, bgr: bool = False):
         out = []

@@ -123,14 +123,26 @@ def registration(prefix: str, scheme, frames: int) -> None:
 
 
 def viewer(name: str) -> None:
-    """``--view``: render dataset/{name}.pcd (main.cpp:101-115)."""
+    """``--view``: view dataset/{name}.pcd (main.cpp:101-115).
+
+    On a TTY this runs the interactive terminal viewer (key-driven
+    drag/zoom/reset over the reference's callback state,
+    visualizer.hpp:24-53); headless/CI stdin renders one PNG."""
+    import sys
+
     from rspc_tpu.io.pcd import load_pcd
-    from rspc_tpu.viz.render import render_to_png
 
     path = os.path.join(DATASET, name + ".pcd")
     cloud = load_pcd(path)
     out = path + ".png"
-    render_to_png(out, cloud)
+    if sys.stdin.isatty():
+        from rspc_tpu.viz.interactive import interactive_view
+
+        interactive_view(cloud, png_path=out)
+    else:
+        from rspc_tpu.viz.render import render_to_png
+
+        render_to_png(out, cloud)
     print(f"Render saved to {out}")
 
 

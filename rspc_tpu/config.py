@@ -219,6 +219,17 @@ class RefineConfig:
     # — so the margin makes refine engage exactly when the coarse chain
     # failed.
     accept_margin: float = 0.75
+    # Anchor acceptance-gate constants (_anchor_refine). Sensitivity is
+    # pinned by tests/test_gate_sensitivity.py: on the bench workload the
+    # accepted mask and final error are stable across keep in [0.90,0.99],
+    # blowup in [1.2, 2.0], and radius in [0.02, 0.05] — the gates
+    # separate clear improvements from clear regressions, they do not sit
+    # on a knife edge.
+    gate_inlier_keep: float = 0.95   # refined pose must keep >= 95% of
+                                     # its matched inliers (churn slack)
+    gate_rmse_blowup: float = 1.5    # point-rmse guard against in-plane
+                                     # slip where plane residuals are blind
+    gate_radius: float = 0.03        # inlier radius for the gate stats [m]
     # Annealed stage schedule: wide correspondence cap + loose Huber first
     # (pulls in starts the coarse stages left several cm off), then tight
     # (converges on the unbiased point-to-plane optimum). Each stage is a

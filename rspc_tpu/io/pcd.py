@@ -257,13 +257,14 @@ def save_pcd(
     ``mode``: "ascii" | "binary" | "binary_compressed".
     For unorganized clouds with ``keep_invalid=False``, only valid points are
     written (PCL's dynamically-sized clouds have no padding); with
-    ``keep_invalid=True`` invalid rows keep their stored coordinates —
-    so the reference's own sample files (all-z==0 points, invalid under
-    our load convention) round-trip losslessly like they do through PCL —
-    EXCEPT rows at exactly the origin, which are capacity padding /
-    no-data markers (librealsense uses the origin for invalid depth) and
-    are written as NaN so PCL consumers skip them instead of seeing
-    phantom points clustered at (0,0,0). Organized clouds always keep
+    ``keep_invalid=True`` invalid rows are written verbatim only when the
+    round trip is invariant, i.e. when ``load_pcd``'s validity rule
+    (finite, z != 0) would mark them invalid again; invalid rows carrying
+    real off-origin finite geometry (edge-compaction padding slots,
+    masked non-converged frames) are written as NaN so they cannot
+    silently resurrect as valid points on reload. The reference's own
+    sample files (all-z==0 invalid points) still round-trip byte-exact
+    like they do through PCL. Organized clouds always keep
     their full grid, with invalid pixels as NaN (PCL's organized-cloud
     convention).
     """
@@ -282,7 +283,13 @@ def save_pcd(
             xyz, rgb = xyz[valid], rgb[valid]
         else:
             xyz = xyz.copy()
-            xyz[~valid & (xyz == 0.0).all(axis=-1)] = np.nan
+            # Round-trip invariance: an invalid row may be written verbatim
+            # only if load_pcd would mark it invalid again (z==0 or
+            # non-finite); any other invalid row becomes NaN.
+            resurrectable = (
+                ~valid & (xyz[:, 2] != 0.0) & np.isfinite(xyz).all(axis=-1)
+            )
+            xyz[resurrectable] = np.nan
         width, height = xyz.shape[0], 1
 
     n = xyz.shape[0]

@@ -110,18 +110,62 @@ def detect_keypoints(
 
     score = jnp.where(is_ext & strong & not_edge & interior, jnp.abs(mid), 0.0)
     flat = score.max(axis=0).reshape(-1)  # collapse scales
+    s_best = jnp.argmax(score, axis=0).reshape(-1)  # winning scale / pixel
     top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)
     valid = top_scores > 0
+
+    # Sub-pixel refinement (quadratic fit of the DoG surface): offset =
+    # -H^-1 g in x/y at the winning scale, clamped to +-0.5 px. Without
+    # it keypoint positions quantize to the pixel grid, which collapses
+    # repeated-texture corners into EXACT descriptor duplicates (same
+    # sampling phase) — measured as a 2x inlier-rate loss on pure
+    # translations (tools/feature_quality.py).
+    dx_m = 0.5 * (jnp.roll(mid, -1, 2) - jnp.roll(mid, 1, 2))
+    dy_m = 0.5 * (jnp.roll(mid, -1, 1) - jnp.roll(mid, 1, 1))
+
+    def gather_sp(vol):
+        v = vol.reshape(vol.shape[0], -1)  # [S, H*W]
+        return v[s_best[top_idx], top_idx]
+
+    gx_k = gather_sp(dx_m)
+    gy_k = gather_sp(dy_m)
+    axx = gather_sp(dxx)
+    ayy = gather_sp(dyy)
+    axy = gather_sp(dxy)
+    det2 = axx * ayy - axy * axy
+    safe = jnp.abs(det2) > 1e-12
+    inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det2, 1.0), 0.0)
+    off_x = -(ayy * gx_k - axy * gy_k) * inv_det
+    off_y = -(axx * gy_k - axy * gx_k) * inv_det
+    ok_off = safe & (jnp.abs(off_x) < 0.75) & (jnp.abs(off_y) < 0.75)
+    xs = xs + jnp.clip(jnp.where(ok_off, off_x, 0.0), -0.5, 0.5)
+    ys = ys + jnp.clip(jnp.where(ok_off, off_y, 0.0), -0.5, 0.5)
     return jnp.stack([xs, ys], axis=-1), top_scores, valid
 
 
 @partial(jax.jit, static_argnames=())
 def compute_descriptors(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
-    """128-d descriptors (4x4 spatial x 8 orientation bins) in a 16x16
-    patch around each keypoint, rotated to the dominant gradient
-    orientation, L2-normalized with SIFT's 0.2 clamp."""
+    """128-d SIFT-layout descriptors (4x4 spatial x 8 orientation bins).
+
+    Follows the SIFT recipe where it matters for match quality (measured
+    by tools/feature_quality.py against OpenCV SIFT on known-homography
+    warps — the round-1 hard-binned, axis-aligned version lost half its
+    matches on a pure translation and all of them under an 8 deg
+    rotation):
+
+      * the 16x16 sample grid is ROTATED to the dominant gradient
+        orientation (round 1 rotated only the angles, so the spatial
+        footprint was not rotation invariant);
+      * gradients are sampled sub-pixel (bilinear on gx/gy — not on the
+        wrapped angle) so +-0.5 px keypoint jitter does not reshuffle
+        bin contents;
+      * contributions are soft-binned trilinearly (2x2 spatial x 2
+        orientation) with a Gaussian spatial window — hard binning
+        aliases a 1 px shift into ~25% descriptor churn;
+      * L2-normalize, clamp 0.2, renormalize (SIFT).
+    """
     img = gray.astype(jnp.float32) / 255.0
     img_s = _blur(img, 1.6)
     gx = 0.5 * (jnp.roll(img_s, -1, 1) - jnp.roll(img_s, 1, 1))
@@ -131,25 +175,92 @@ def compute_descriptors(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
     h, w = img.shape
 
     offs = jnp.arange(-8, 8, dtype=jnp.float32) + 0.5  # 16 samples
+    ou, ov = jnp.meshgrid(offs, offs, indexing="xy")  # [16,16] du, dv
+    gauss_w = jnp.exp(-(ou * ou + ov * ov) / (2.0 * 8.0 * 8.0))
+
+    def bilinear(f, xs, ys):
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
+        fx = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)
+        fy = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)
+        f00 = f[y0, x0]
+        f01 = f[y0, x0 + 1]
+        f10 = f[y0 + 1, x0]
+        f11 = f[y0 + 1, x0 + 1]
+        return (
+            f00 * (1 - fy) * (1 - fx)
+            + f01 * (1 - fy) * fx
+            + f10 * fy * (1 - fx)
+            + f11 * fy * fx
+        )
 
     def per_kp(p):
         cx, cy = p[0], p[1]
-        xs = jnp.clip((cx + offs).astype(jnp.int32), 0, w - 1)
-        ys = jnp.clip((cy + offs).astype(jnp.int32), 0, h - 1)
-        m = mag[ys][:, xs]      # [16,16]
-        a = ang[ys][:, xs]
+        # dominant orientation from the axis-aligned patch: 36-bin
+        # Gaussian-weighted histogram, circularly smoothed (SIFT), peak
+        xs0 = jnp.clip((cx + ou).astype(jnp.int32), 0, w - 1)
+        ys0 = jnp.clip((cy + ov).astype(jnp.int32), 0, h - 1)
+        m0 = mag[ys0, xs0] * gauss_w
+        a0 = ang[ys0, xs0]
+        bins36 = (
+            jnp.floor((a0 + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32)
+            % 36
+        )
+        hist36 = jax.ops.segment_sum(m0.reshape(-1), bins36.reshape(-1), 36)
+        for _ in range(2):  # circular [1,1,1]/3 smoothing
+            hist36 = (
+                hist36 + jnp.roll(hist36, 1) + jnp.roll(hist36, -1)
+            ) / 3.0
+        main = (
+            (jnp.argmax(hist36).astype(jnp.float32) + 0.5) / 36
+            * 2 * jnp.pi
+            - jnp.pi
+        )
+        cosm, sinm = jnp.cos(main), jnp.sin(main)
 
-        # dominant orientation: 36-bin histogram
-        bins36 = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
-        hist36 = jax.ops.segment_sum(m.reshape(-1), bins36.reshape(-1), 36)
-        main = (jnp.argmax(hist36).astype(jnp.float32) + 0.5) / 36 * 2 * jnp.pi - jnp.pi
+        # rotated sample grid + sub-pixel gradients
+        rx = cx + cosm * ou - sinm * ov
+        ry = cy + sinm * ou + cosm * ov
+        gxs = bilinear(gx, rx, ry)
+        gys = bilinear(gy, rx, ry)
+        m = jnp.sqrt(gxs * gxs + gys * gys) * gauss_w
+        a_rel = jnp.mod(
+            jnp.arctan2(gys, gxs) - main + 2 * jnp.pi, 2 * jnp.pi
+        )
 
-        a_rel = jnp.mod(a - main + jnp.pi, 2 * jnp.pi)  # [0, 2pi)
-        obin = jnp.floor(a_rel / (2 * jnp.pi) * 8).astype(jnp.int32) % 8
-        r_id = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0) // 4
-        c_id = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1) // 4
-        cell = (r_id * 4 + c_id) * 8 + obin  # [16,16] in [0,128)
-        desc = jax.ops.segment_sum(m.reshape(-1), cell.reshape(-1), 128)
+        # trilinear soft binning: spatial cell coords in [-0.5, 3.5]
+        cu = (ou + 8.0) / 4.0 - 0.5
+        cv = (ov + 8.0) / 4.0 - 0.5
+        co = a_rel / (2 * jnp.pi) * 8.0 - 0.5
+        u0 = jnp.floor(cu).astype(jnp.int32)
+        v0 = jnp.floor(cv).astype(jnp.int32)
+        o0 = jnp.floor(co).astype(jnp.int32)
+        fu = cu - u0.astype(jnp.float32)
+        fv = cv - v0.astype(jnp.float32)
+        fo = co - o0.astype(jnp.float32)
+
+        contribs = []
+        cells = []
+        for du in (0, 1):
+            wu = jnp.where(du == 0, 1 - fu, fu)
+            uu = u0 + du
+            u_ok = (uu >= 0) & (uu < 4)
+            for dv in (0, 1):
+                wv = jnp.where(dv == 0, 1 - fv, fv)
+                vv = v0 + dv
+                v_ok = (vv >= 0) & (vv < 4)
+                for do in (0, 1):
+                    wo = jnp.where(do == 0, 1 - fo, fo)
+                    oo = jnp.mod(o0 + do, 8)
+                    wgt = m * wu * wv * wo * u_ok * v_ok
+                    cell = (
+                        jnp.clip(vv, 0, 3) * 4 + jnp.clip(uu, 0, 3)
+                    ) * 8 + oo
+                    contribs.append(wgt.reshape(-1))
+                    cells.append(cell.reshape(-1))
+        desc = jax.ops.segment_sum(
+            jnp.concatenate(contribs), jnp.concatenate(cells), 128
+        )
         desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
         desc = jnp.minimum(desc, 0.2)
         return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
@@ -170,6 +281,13 @@ def match_descriptors(
     capture_opencv.hpp:66): for each A descriptor the two nearest B
     descriptors by L2; keep if d1 < ratio * d2. One MXU matmul.
 
+    An absolute ambiguity guard backs the ratio: when BOTH neighbors are
+    near-zero distance (exact-duplicate descriptors from repeated
+    texture), d1 < ratio * d2 degenerates to comparing float noise and
+    accepts an arbitrary duplicate — the guard requires the 2-NN gap to
+    be resolvable (sqrt(d2nd) - sqrt(d1) > 0.01 on unit-norm
+    descriptors) before a match counts as unambiguous.
+
     Returns (idx_b i32[K], good bool[K])."""
     # L2^2 = ||a||^2 + ||b||^2 - 2ab ; descriptors are unit norm -> 2 - 2ab
     sim = jnp.matmul(
@@ -179,10 +297,13 @@ def match_descriptors(
     d2 = jnp.where(valid_b[None, :], d2, jnp.inf)
     neg_top, idx = jax.lax.top_k(-d2, 2)
     d1, d2nd = -neg_top[:, 0], -neg_top[:, 1]
+    r1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+    r2 = jnp.sqrt(jnp.maximum(d2nd, 1e-20))
     good = (
         valid_a
         & jnp.isfinite(d1)
         & jnp.isfinite(d2nd)
-        & (jnp.sqrt(jnp.maximum(d1, 0.0)) < ratio * jnp.sqrt(jnp.maximum(d2nd, 1e-20)))
+        & (r1 < ratio * r2)
+        & (r2 - r1 > 0.01)
     )
     return idx[:, 0], good

@@ -59,13 +59,14 @@ def nearest_neighbors(
 
     # Recentre on the valid-TARGET centroid (see module docstring; the
     # target-only choice keeps the recentred target loop-invariant when
-    # this runs inside ICP's while_loop, so XLA hoists it).
+    # this runs inside ICP's while_loop, so XLA hoists it). Invalid rows
+    # are zeroed BEFORE the sum: padding slots may hold arbitrary bytes,
+    # and NaN/Inf garbage times a 0.0 weight is still NaN.
+    txyz = jnp.where(tgt_valid[:, None], tgt_xyz, 0.0)
     wtgt = tgt_valid.astype(dtype)
-    centroid = jnp.sum(tgt_xyz * wtgt[:, None], axis=0) / jnp.maximum(
-        jnp.sum(wtgt), 1.0
-    )
+    centroid = jnp.sum(txyz, axis=0) / jnp.maximum(jnp.sum(wtgt), 1.0)
     s = src_xyz - centroid
-    t = tgt_xyz - centroid
+    t = txyz - centroid
 
     t = _pad_chunks(t, chunk, 0.0)
     tv = _pad_chunks(tgt_valid, chunk, False)

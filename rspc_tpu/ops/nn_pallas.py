@@ -29,6 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 SRC_TILE = 512
 TGT_CHUNK = 1024
 
+# Above this target size the VMEM-resident target layout exceeds the
+# compiler's scoped-vmem budget (measured cliff: 1.84M points compiles,
+# 3.07M OOMs with "scoped allocation 16.29M > 16.00M limit"); callers
+# should fall back to the HBM-streaming XLA sweep (ops/nn.py) past it.
+MAX_VMEM_TARGET = 2_500_000
+
 
 def _nn_kernel(nchunks_ref, src_ref, tgt_ref, pen_ref, score_ref, idx_ref):
     """Grid dim 0 walks source tiles.
@@ -115,12 +121,14 @@ def nearest_neighbors_pallas(
     # norms loop-invariant inside ICP's while_loop — XLA hoists them,
     # instead of re-subtracting and re-laying-out the whole target
     # buffer on every sweep (the source centroid changes per iteration).
+    # Invalid rows zeroed BEFORE the centroid sum and the sweep: padding
+    # slots may hold arbitrary bytes, and NaN/Inf garbage times a 0.0
+    # weight is still NaN (and would poison the kernel's norm lanes).
+    txyz = jnp.where(tgt_valid[:, None], tgt_xyz, 0.0)
     wtgt = tgt_valid.astype(dtype)
-    centroid = jnp.sum(tgt_xyz * wtgt[:, None], axis=0) / jnp.maximum(
-        jnp.sum(wtgt), 1.0
-    )
+    centroid = jnp.sum(txyz, axis=0) / jnp.maximum(jnp.sum(wtgt), 1.0)
     s = src_xyz - centroid
-    t = tgt_xyz - centroid
+    t = txyz - centroid
 
     n_pad = (-n) % SRC_TILE
     m_pad = (-m) % TGT_CHUNK

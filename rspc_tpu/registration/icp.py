@@ -136,7 +136,12 @@ def icp_align(
 
     use_pallas = config.use_pallas and jax.default_backend() == "tpu"
     if use_pallas:
-        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+        from rspc_tpu.ops.nn_pallas import (
+            MAX_VMEM_TARGET,
+            nearest_neighbors_pallas,
+        )
+
+        use_pallas = tgt.capacity <= MAX_VMEM_TARGET
 
     def correspondences(final_t):
         src_t = apply_transform(final_t, src.xyz)

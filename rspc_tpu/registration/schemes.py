@@ -168,20 +168,24 @@ class TwoPhaseRegistrationScheme(RegistrationScheme):
 @partial(jax.jit, static_argnames=("icp_cfg", "leaf", "voxel_cap", "guard_cap"))
 def _icp_pair_step(
     target: Cloud, edge: Cloud, guess, icp_cfg, leaf, voxel_cap,
-    guard_cap: float = 0.0,
+    guard_cap: float = 0.0, guard_fallback=None,
 ):
     """One frame of the edge-ICP chain: downsample source edges, coarse ICP
     with guess, fine ICP without, compose. The coarse stage's fitness is
     never consumed (only the fine stage's convergence gates merging),
-    so its extra sweep is skipped."""
+    so its extra sweep is skipped. ``guard_fallback`` overrides the
+    never-worsen gate's fallback hypothesis (default: the guess) — used
+    by warm-started chains to fall back to the raw, correction-free
+    guess."""
     src_down = voxel_downsample(edge, leaf, voxel_cap)
     coarse_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
     coarse = icp_align(src_down, target, coarse_cfg, guess)
     if guard_cap > 0.0:
+        fallback = guess if guard_fallback is None else guard_fallback
         coarse = dataclasses.replace(
             coarse,
             transform=_guard_transform(
-                coarse.transform, guess, src_down, target, guard_cap
+                coarse.transform, fallback, src_down, target, guard_cap
             ),
         )
     aligned = apply_transform_cloud(coarse.transform, src_down)
@@ -196,18 +200,20 @@ def _icp_pair_step(
 )
 def _ndt_pair_step(
     target: Cloud, edge: Cloud, guess, ndt_cfg, icp_cfg, leaf, voxel_cap,
-    guard_cap: float = 0.0,
+    guard_cap: float = 0.0, guard_fallback=None,
 ):
     """One frame of the NDT chain: downsample, NDT coarse with guess, fine
-    ICP, compose (src/ndt_edge_based_registration.hpp:66-108)."""
+    ICP, compose (src/ndt_edge_based_registration.hpp:66-108).
+    ``guard_fallback`` as in :func:`_icp_pair_step`."""
     src_down = voxel_downsample(edge, leaf, voxel_cap)
     grid = build_ndt_grid(target, ndt_cfg)
     coarse = ndt_align(src_down, grid, ndt_cfg, guess)
     if guard_cap > 0.0:
+        fallback = guess if guard_fallback is None else guard_fallback
         coarse = dataclasses.replace(
             coarse,
             transform=_guard_transform(
-                coarse.transform, guess, src_down, target, guard_cap
+                coarse.transform, fallback, src_down, target, guard_cap
             ),
         )
     aligned = apply_transform_cloud(coarse.transform, src_down)
@@ -233,9 +239,15 @@ def _nn_sweep(src_xyz, src_valid, tgt_xyz, tgt_valid, use_pallas=True,
     from rspc_tpu.ops.nn import nearest_neighbors
 
     if use_pallas and jax.default_backend() == "tpu":
-        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+        from rspc_tpu.ops.nn_pallas import (
+            MAX_VMEM_TARGET,
+            nearest_neighbors_pallas,
+        )
 
-        return nearest_neighbors_pallas(src_xyz, src_valid, tgt_xyz, tgt_valid)
+        if tgt_xyz.shape[0] <= MAX_VMEM_TARGET:
+            return nearest_neighbors_pallas(
+                src_xyz, src_valid, tgt_xyz, tgt_valid
+            )
     kw = {} if chunk is None else {"chunk": chunk}
     return nearest_neighbors(src_xyz, src_valid, tgt_xyz, tgt_valid, **kw)
 
@@ -334,7 +346,16 @@ def _refine_pair_step(
 
 
 @partial(jax.jit, static_argnames=("stages", "margin", "gate_radius"))
-def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.03):
+def _anchor_refine(
+    anchor: Cloud,
+    fulls,
+    totals,
+    stages,
+    margin,
+    gate_radius=0.03,
+    gate_inlier_keep=0.95,
+    gate_rmse_blowup=1.5,
+):
     """Batched anchor refinement (RefineConfig.anchor_to_first): re-align
     every frame's full cloud directly against FRAME 0's full cloud from
     its chain transform. Eliminates chain drift wherever the trajectory
@@ -448,21 +469,28 @@ def _anchor_refine(anchor: Cloud, fulls, totals, stages, margin, gate_radius=0.0
             cur = jax.vmap(apply_transform)(t_inc, cur)
 
     # Overlap-aware acceptance: refinement must roughly keep its matched
-    # points (5% slack — inliers churn across the radius boundary even for
-    # pure improvements) and must tighten the POINT-TO-PLANE residual
-    # (margin bound) — the quantity the stages minimize. Gating on point
-    # rmse instead silently rejected genuine improvements: p2l trades
-    # meaningless in-plane point distance for out-of-plane accuracy, so a
-    # better pose can RAISE point rmse (measured: the rejected frames were
-    # exactly the ones with the largest ground-truth error). Point rmse
-    # keeps only a 1.5x blow-up guard against in-plane slip on
-    # low-structure scenes where the plane residual alone is blind.
+    # points (gate_inlier_keep slack — inliers churn across the radius
+    # boundary even for pure improvements) and must tighten the
+    # POINT-TO-PLANE residual (margin bound) — the quantity the stages
+    # minimize. Gating on point rmse instead silently rejected genuine
+    # improvements: p2l trades meaningless in-plane point distance for
+    # out-of-plane accuracy, so a better pose can RAISE point rmse
+    # (measured: the rejected frames were exactly the ones with the
+    # largest ground-truth error). Point rmse keeps only a
+    # gate_rmse_blowup guard against in-plane slip on low-structure
+    # scenes where the plane residual alone is blind. Constants live in
+    # RefineConfig; tests/test_gate_sensitivity.py pins their stability
+    # band.
     nb, rb, pb = (
         before_stats if before_stats is not None
         else inlier_stats(src0.xyz)  # zero-iteration stage schedule
     )
     na, ra, pa = inlier_stats(cur)
-    accepted = (na >= nb * 0.95) & (pa <= pb * margin) & (ra <= rb * 1.5)
+    accepted = (
+        (na >= nb * gate_inlier_keep)
+        & (pa <= pb * margin)
+        & (ra <= rb * gate_rmse_blowup)
+    )
     refined = jnp.einsum("bij,bjk->bik", rel, totals)
     total = jnp.where(accepted[:, None, None], refined, totals)
     return total, accepted
@@ -648,10 +676,20 @@ def _chain_scan(
         else:
             coarse = icp_align(edge_i, target, coarse_icp_cfg, guess)
         if coarse_guard_cap > 0.0:
+            # Under warm_start the guard falls back to the RAW guess, not
+            # the warmed one: if the carried correction is bad, both the
+            # candidate (optimized from the warmed guess) and the warmed
+            # guess itself are contaminated — the raw guess is the only
+            # hypothesis independent of the correction, so a poisoned
+            # correction is rejected per-pair instead of compounding.
             coarse = dataclasses.replace(
                 coarse,
                 transform=_guard_transform(
-                    coarse.transform, guess, edge_i, target, coarse_guard_cap
+                    coarse.transform,
+                    raw_guess,
+                    edge_i,
+                    target,
+                    coarse_guard_cap,
                 ),
             )
         aligned = apply_transform_cloud(coarse.transform, edge_i)
@@ -698,7 +736,10 @@ def _chain_scan(
                 .at[:3, :3].set(r.T)
                 .at[:3, 3].set(-r.T @ raw_guess[:3, 3])
             )
-            corr = coarse.transform @ inv_g
+            # Only a pair whose fine ICP converged may update the carried
+            # correction; a non-converged pair's coarse transform is
+            # untrusted and would otherwise poison every later pair.
+            corr = jnp.where(conv, coarse.transform @ inv_g, corr)
         return (
             (target, moments, target_full, corr),
             (coarse, fine, ref, total),
@@ -790,7 +831,8 @@ def _registration_fused(
         first = jax.tree.map(lambda x: x[0], full)
         restf = jax.tree.map(lambda x: x[1:], full)
         totals, accepted = _anchor_refine(
-            first, restf, totals, r.anchor_stages, 1.0
+            first, restf, totals, r.anchor_stages, 1.0,
+            r.gate_radius, r.gate_inlier_keep, r.gate_rmse_blowup,
         )
     out["totals"] = totals
     out["anchor_accepted"] = accepted
@@ -1112,6 +1154,9 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                 totals,
                 cfg.refine.anchor_stages,
                 1.0,  # inlier gate: monotone rmse bound
+                cfg.refine.gate_radius,
+                cfg.refine.gate_inlier_keep,
+                cfg.refine.gate_rmse_blowup,
             )
         self.total_transforms = totals
         self._dump_edges(
@@ -1158,17 +1203,23 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             raw_guess = guess = guesses[idx - 1]
             if cfg.coarse_warm_start:
                 guess = corr @ guess  # see _chain_scan warm-start note
+            fb = raw_guess if cfg.coarse_warm_start else None
             if self.use_ndt_coarse:
                 coarse, fine, fine_aligned = _ndt_pair_step(
                     target, edges[idx], guess, cfg.ndt, cfg.icp,
                     cfg.voxel.leaf_size, voxel_cap, cfg.coarse_guard_cap,
+                    guard_fallback=fb,
                 )
             else:
                 coarse, fine, fine_aligned = _icp_pair_step(
                     target, edges[idx], guess, cfg.icp,
                     cfg.voxel.leaf_size, voxel_cap, cfg.coarse_guard_cap,
+                    guard_fallback=fb,
                 )
-            if cfg.coarse_warm_start:
+            if cfg.coarse_warm_start and bool(fine.converged):
+                # only converged pairs may update the carried correction
+                # (see _chain_scan) — a bad pair would otherwise poison
+                # every later pair with no path back to the raw guess
                 r3 = raw_guess[:3, :3]
                 inv_g = (
                     jnp.eye(4, dtype=raw_guess.dtype)
@@ -1213,6 +1264,9 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                 totals_arr,
                 cfg.refine.anchor_stages,
                 1.0,  # inlier gate: monotone rmse bound
+                cfg.refine.gate_radius,
+                cfg.refine.gate_inlier_keep,
+                cfg.refine.gate_rmse_blowup,
             )
         self.total_transforms = totals_arr
 
@@ -1266,21 +1320,22 @@ def _incremental_scan(stacked: Cloud, icp_cfg, leaf, voxel_cap, cap):
     convergence gate folds into the merge — the Python loop's
     ``bool(res.converged)`` costs a host round trip per pair.
 
-    Two deliberate deviations from the generic path, both measured on the
-    6x307k workload:
-      * the internal aligns skip the fitness pass (PCL's ``align()``
-        never computes fitness either — ``getFitnessScore`` is a separate
-        on-demand call; our per-pair sweep over a ~1.8M-point target cost
-        ~80 ms each);
-      * frames append as CONTIGUOUS blocks (``dynamic_update_slice`` at
-        frame-sized offsets, invalid rows carried along masked) instead
-        of compacting scatters — a 3.7 MB block copy replaces a ~26 ms
-        row scatter into the 22 MB carry. NN masks invalid rows, so
-        interior holes are free."""
+    One deliberate deviation from the generic path, measured on the
+    6x307k workload: frames append as CONTIGUOUS blocks
+    (``dynamic_update_slice`` at frame-sized offsets, invalid rows
+    carried along masked) instead of compacting scatters — a 3.7 MB
+    block copy replaces a ~26 ms row scatter into the 22 MB carry. NN
+    masks invalid rows, so interior holes are free.
+
+    ``icp_cfg.compute_fitness`` is honored exactly like in the Python
+    loop path, so ``results[i].fitness`` means the same thing whichever
+    path ran (it is NaN under ``compute_fitness=False``, which the fast
+    presets select — matching PCL, where ``align()`` never computes
+    fitness and ``getFitnessScore`` is a separate on-demand call; the
+    per-pair fitness sweep over a ~1.8M-point target costs ~80 ms)."""
     n, frame_cap = stacked.valid.shape
     first = jax.tree.map(lambda x: x[0], stacked)
     rest = jax.tree.map(lambda x: x[1:], stacked)
-    icp_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
 
     target = Cloud(
         xyz=jnp.zeros((cap, 3), stacked.xyz.dtype)

@@ -92,3 +92,80 @@ def frames_mosaic(frames: Sequence[np.ndarray]) -> np.ndarray:
         r, c = divmod(i, cols)
         canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = f
     return canvas
+
+
+def video_frame_to_rgb(data: np.ndarray, fmt: str) -> np.ndarray:
+    """Decode a raw video frame into RGB u8 — the ``texture.upload``
+    format switch (src/utils.hpp:405-421) without the GL upload.
+
+    Formats: ``rgb8`` u8[H,W,3]; ``rgba8`` u8[H,W,4] (alpha dropped,
+    matching GL_RGB internal format); ``bgr8`` u8[H,W,3]; ``y8`` u8[H,W]
+    replicated to grey; ``y10bpack`` u16[H,W] with 10 significant bits
+    (GL_LUMINANCE/GL_UNSIGNED_SHORT path: top bits map to intensity)."""
+    d = np.asarray(data)
+    f = fmt.lower()
+    if f == "rgb8":
+        return d.astype(np.uint8)
+    if f == "rgba8":
+        return d[..., :3].astype(np.uint8)
+    if f == "bgr8":
+        return d[..., ::-1].astype(np.uint8)
+    if f == "y8":
+        return np.repeat(d.astype(np.uint8)[..., None], 3, axis=-1)
+    if f == "y10bpack":
+        g = (d.astype(np.uint32) >> 2).clip(0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=-1)
+    raise ValueError(f"The requested format is not supported: {fmt!r}")
+
+
+def adjust_ratio(rect_wh, frame_wh):
+    """The reference rect::adjust_ratio (src/utils.hpp:70-82): fit a
+    frame's aspect into a rect, centered. Returns (x_off, y_off, w, h)."""
+    rw, rh = float(rect_wh[0]), float(rect_wh[1])
+    fw, fh = float(frame_wh[0]), float(frame_wh[1])
+    ratio = fw / fh
+    w, h = rw, rh
+    if rw / rh > ratio:
+        w = rh * ratio
+    else:
+        h = rw / ratio
+    return ((rw - w) / 2.0, (rh - h) / 2.0, w, h)
+
+
+def show_in_rect(
+    canvas: np.ndarray, frame_rgb: np.ndarray, rect, label: str = ""
+) -> None:
+    """Draw a frame into a canvas sub-rect with aspect-preserving fit
+    (texture::show + rect::adjust_ratio). ``rect`` = (x, y, w, h) in
+    canvas pixels; nearest-neighbor resample (GL_LINEAR's cheap cousin —
+    the semantics under test are layout, not filtering)."""
+    x, y, w, h = [float(v) for v in rect]
+    fx, fy, fw, fh = adjust_ratio((w, h), (frame_rgb.shape[1], frame_rgb.shape[0]))
+    x0, y0 = int(x + fx), int(y + fy)
+    wi, hi = max(int(fw), 1), max(int(fh), 1)
+    ys = (np.arange(hi) * frame_rgb.shape[0] / hi).astype(int)
+    xs = (np.arange(wi) * frame_rgb.shape[1] / wi).astype(int)
+    patch = frame_rgb[ys][:, xs]
+    hcan, wcan = canvas.shape[:2]
+    y1, x1 = min(y0 + hi, hcan), min(x0 + wi, wcan)
+    if y1 > y0 and x1 > x0:
+        canvas[y0:y1, x0:x1] = patch[: y1 - y0, : x1 - x0]
+
+
+class KeyListener:
+    """Mirror of the reference's ``window_key_listener``
+    (src/utils.hpp:724-740): remembers the last released key; ``get_key``
+    returns and clears it (-1 = none, GLFW_KEY_UNKNOWN)."""
+
+    UNKNOWN = -1
+
+    def __init__(self):
+        self.last_key = self.UNKNOWN
+
+    def on_key_release(self, key: int) -> None:
+        self.last_key = key
+
+    def get_key(self) -> int:
+        key = self.last_key
+        self.last_key = self.UNKNOWN
+        return key

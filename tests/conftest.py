@@ -12,19 +12,29 @@ init, so setting it here is still in time.
 
 import os
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Explicit TPU run (JAX_PLATFORMS=axon pytest ...) keeps the real
+# backend so the compiled-lowering tests (tests/test_nn_onchip.py) can
+# execute on-chip; everything else runs the virtual-CPU-mesh setup.
+_TPU_RUN = os.environ.get("JAX_PLATFORMS", "").startswith("axon")
+
+if not _TPU_RUN:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_RUN:
+    jax.config.update("jax_platforms", "cpu")
 
 
 def pytest_sessionstart(session):
     devs = jax.devices()
+    if _TPU_RUN:
+        assert devs[0].platform == "tpu", f"expected TPU, got {devs}"
+        return
     assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
     assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"

@@ -123,24 +123,36 @@ def test_binary_matches_pcl_layout(tmp_path):
     assert packed == (255 << 16) | (128 << 8) | 1
 
 
-def test_save_padding_rows_as_nan(tmp_path):
-    # fixed-capacity padding (invalid rows at the exact origin) must not
-    # become phantom (0,0,0) points for PCL consumers; genuine z==0 rows
-    # keep their coordinates (see test_roundtrip_reference_sample_verbatim)
+def test_save_invalid_rows_round_trip_invariant(tmp_path):
+    # the round-trip invariance contract (ADVICE r1): an invalid row is
+    # written verbatim only if load_pcd would mark it invalid again
+    # (z == 0 or non-finite); invalid rows carrying real off-origin
+    # geometry (edge-compaction padding, masked non-converged frames)
+    # become NaN so they cannot resurrect as valid points
     xyz = np.array(
-        [[1.0, 2.0, 3.0], [0.5, -0.5, 0.0], [0.0, 0.0, 0.0]], np.float32
+        [
+            [1.0, 2.0, 3.0],   # valid
+            [0.5, -0.5, 0.0],  # invalid, z==0 -> verbatim (reloads invalid)
+            [0.0, 0.0, 0.0],   # invalid origin padding -> verbatim
+            [7.0, 8.0, 1.5],   # invalid with real z!=0 geometry -> NaN
+        ],
+        np.float32,
     )
     c = Cloud(
         jnp.asarray(xyz),
-        jnp.zeros((3, 3), jnp.float32),
-        jnp.asarray([True, False, False]),
+        jnp.zeros((4, 3), jnp.float32),
+        jnp.asarray([True, False, False, False]),
     )
     p = tmp_path / "pad.pcd"
     save_pcd(p, c, mode="ascii")
     raw = p.read_text().splitlines()[-1].split()
-    assert raw[0] == "nan"  # padding row -> NaN
+    assert raw[0] == "nan"  # resurrectable row -> NaN
     c2 = load_pcd(p)
     got = np.asarray(c2.xyz)
     np.testing.assert_allclose(got[0], xyz[0])
     np.testing.assert_allclose(got[1], xyz[1])  # z==0 row kept verbatim
-    assert not np.asarray(c2.valid)[1] and not np.asarray(c2.valid)[2]
+    np.testing.assert_allclose(got[2], xyz[2])  # origin padding verbatim
+    # the validity mask survives the round trip EXACTLY
+    np.testing.assert_array_equal(
+        np.asarray(c2.valid), [True, False, False, False]
+    )
