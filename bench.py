@@ -22,6 +22,8 @@ import time
 
 import numpy as np
 
+from rspc_tpu.utils.profiling import device_sync
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -66,7 +68,7 @@ def main():
     )
     t0 = time.time()
     clouds = seq.clouds()
-    jax.block_until_ready(clouds[-1].xyz)
+    device_sync(clouds[-1].xyz)
     log(f"rendered {n_frames} 640x480 frames in {time.time()-t0:.2f}s")
 
     # The north-star configuration lives in rspc_tpu/presets.py (shared
@@ -76,7 +78,7 @@ def main():
     def run():
         scheme = NDTEdgeBasedRegistration(rads=yaw_step, config=config)
         result = scheme.registration(clouds)
-        jax.block_until_ready(result.xyz)
+        device_sync(result.xyz)
         return scheme, result
 
     # Warmup (compile)

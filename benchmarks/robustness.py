@@ -22,7 +22,10 @@ import time
 
 import numpy as np
 
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rspc_tpu.utils.profiling import device_sync  # noqa: E402
 
 
 def log(*a):
@@ -95,7 +98,7 @@ def main():
             **kw,
         )
         clouds = seq.clouds()
-        jax.block_until_ready(clouds[-1].xyz)
+        device_sync(clouds[-1].xyz)
         gts = [seq.gt_transform(i) for i in range(1, n_frames)]
 
         def err_of(totals, gts_n):
@@ -103,11 +106,45 @@ def main():
             errs = [np.abs(t[i] - gts_n[i]).max() for i in range(len(gts_n))]
             return float(np.max(errs)), float(np.mean(errs))
 
-        for scheme_name in ("ndt_edge", "icp_edge", "incremental"):
+        for scheme_name in (
+            "ndt_edge",
+            "ndt_edge_warm",
+            "ndt_edge_map",
+            "icp_edge",
+            "incremental",
+        ):
             t0 = time.time()
             try:
                 if scheme_name == "ndt_edge":
                     s = NDTEdgeBasedRegistration(rads=yaw, config=config)
+                    r = s.registration(clouds)
+                elif scheme_name == "ndt_edge_map":
+                    # progressive map anchoring (anchor_mode="map"):
+                    # sequential local-map refinement with correction
+                    # carry-over — the structural fix for trajectories
+                    # that rotate away from frame 0
+                    import dataclasses
+
+                    cfg_m = dataclasses.replace(
+                        config,
+                        coarse_warm_start=True,
+                        refine=dataclasses.replace(
+                            config.refine, anchor_mode="map"
+                        ),
+                    )
+                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_m)
+                    r = s.registration(clouds)
+                elif scheme_name == "ndt_edge_warm":
+                    # coarse_warm_start carries the previous pair's
+                    # correction onto the next static guess — built for
+                    # exactly the partial-overlap failure mode (the
+                    # turntable guess ignores accumulated translation)
+                    import dataclasses
+
+                    cfg_w = dataclasses.replace(
+                        config, coarse_warm_start=True
+                    )
+                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_w)
                     r = s.registration(clouds)
                 elif scheme_name == "icp_edge":
                     s = ICPEdgeBasedRegistration(rads=yaw, config=config)
@@ -134,7 +171,7 @@ def main():
                     ]
                     s = IncrementalICP(cfg5)
                     r = s.registration(flat)
-                jax.block_until_ready(r.xyz)
+                device_sync(r.xyz)
             except Exception as e:  # record the cell, keep sweeping
                 log(f"{name:16s} {scheme_name:12s} FAILED: {e}")
                 rows.append(
@@ -164,6 +201,7 @@ def main():
                 "mean_err": mean_err,
                 "converged": int(sum(conv)),
                 "pairs": len(conv),
+                "global_points": int(np.asarray(r.valid).sum()),
                 "wall_s": round(wall, 3),
             }
             rows.append(row)

@@ -20,8 +20,11 @@ import time
 
 import numpy as np
 
+
 # python puts the script's own dir (benchmarks/) on sys.path, not the repo
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rspc_tpu.utils.profiling import device_sync  # noqa: E402
 
 
 def log(*a):
@@ -32,12 +35,12 @@ def timed(fn, reps=3):
     import jax
 
     out = fn()
-    jax.block_until_ready(jax.tree.leaves(out))
+    device_sync(jax.tree.leaves(out))
     ts = []
     for _ in range(reps):
         t0 = time.time()
         out = fn()
-        jax.block_until_ready(jax.tree.leaves(out))
+        device_sync(jax.tree.leaves(out))
         ts.append(time.time() - t0)
     return min(ts), out
 
@@ -69,7 +72,7 @@ def main():
         n_frames=n_frames, yaw_step=yaw, intr=Intrinsics.simple(640, 480)
     )
     clouds = seq.clouds()
-    jax.block_until_ready(clouds[-1].xyz)
+    device_sync(clouds[-1].xyz)
 
     def emit(cfg_id, desc, wall, extra=None):
         rec = {"config": cfg_id, "workload": desc, "wall_s": round(wall, 4)}
@@ -144,7 +147,7 @@ def main():
         def run3():
             s = ICPEdgeBasedRegistration(thetas=thetas, config=ns_config)
             r = s.registration(clouds)
-            jax.block_until_ready(r.xyz)
+            device_sync(r.xyz)
             return s
 
         wall, s = timed(run3)
@@ -160,7 +163,7 @@ def main():
         def run4():
             s = NDTEdgeBasedRegistration(rads=yaw, config=ns_config)
             r = s.registration(clouds)
-            jax.block_until_ready(r.xyz)
+            device_sync(r.xyz)
             return s
 
         wall, s = timed(run4)
@@ -191,7 +194,7 @@ def main():
             )
             s = IncrementalICP(cfg5)
             r = s.registration(flat6)
-            jax.block_until_ready(r.xyz)
+            device_sync(r.xyz)
             return s
 
         wall, s = timed(run5)

@@ -184,6 +184,16 @@ class RefineConfig:
     # acceptance gate rejects keep their chain transform. Beyond-reference
     # accuracy stage.
     anchor_to_first: bool = False
+    # Anchor target choice. "first": batched one-shot anchoring of every
+    # frame against frame 0 (fast — one flattened NN sweep per
+    # iteration; drift-free only where the trajectory keeps frame-0
+    # overlap). "map": progressive anchoring — frames refine
+    # SEQUENTIALLY against a growing map of all previously accepted
+    # frames (frame 0 first), and each accepted correction carries onto
+    # the next frame's start. Handles partial-overlap trajectories that
+    # rotate away from frame 0 (a local-map SLAM step, scan-fused);
+    # costs ~n sequential refine solves instead of one batched one.
+    anchor_mode: str = "first"
     # Anchor stage schedule: starts are already chain-initialized (a few
     # mm off), so no wide/loose stage — with partial overlap a wide
     # correspondence cap matches across the non-overlap boundary and
@@ -225,6 +235,15 @@ class RefineConfig:
     # blowup in [1.2, 2.0], and radius in [0.02, 0.05] — the gates
     # separate clear improvements from clear regressions, they do not sit
     # on a knife edge.
+    # Map-anchor acceptance margin (anchor_mode="map") on the
+    # point-to-plane residual: the start is the corr-propagated chain
+    # pose — often already at the optimum — so the gate must tolerate
+    # the few-percent fluctuation of a near-tie refine (measured ~6% on
+    # an already-anchored start) and only reject clear worsening; a
+    # genuinely misaligned accept would blow the residual far past 1.2x
+    # (and the point-rmse blowup guard still applies). The chain
+    # refine's accept_margin=0.75 would reject every already-good frame.
+    map_accept_margin: float = 1.2
     gate_inlier_keep: float = 0.95   # refined pose must keep >= 95% of
                                      # its matched inliers (churn slack)
     gate_rmse_blowup: float = 1.5    # point-rmse guard against in-plane

@@ -6,8 +6,12 @@ decomposition: the score, its 6-gradient, and 6x6 Hessian are additive
 over source points, so every Newton iteration (and every line-search
 trial) reduces to ONE fused 43-scalar ``psum`` — pure latency, no
 bandwidth term. The Newton solve and More-Thuente logic then run
-identically (replicated) on every chip. Convergence and results match
-the single-chip path exactly (the psum'd sums are the same sums).
+identically (replicated) on every chip. Results match the single-chip
+optimum; trajectories are not bitwise-identical — the per-shard gram
+matmuls psum'd over the mesh sum in a different order than one global
+gram, and the line-search/epsilon stops are threshold branches, so an
+iteration count can differ by one (tests/test_parallel.py pins the
+same-optimum contract).
 """
 
 from __future__ import annotations

@@ -136,12 +136,7 @@ def icp_align(
 
     use_pallas = config.use_pallas and jax.default_backend() == "tpu"
     if use_pallas:
-        from rspc_tpu.ops.nn_pallas import (
-            MAX_VMEM_TARGET,
-            nearest_neighbors_pallas,
-        )
-
-        use_pallas = tgt.capacity <= MAX_VMEM_TARGET
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
 
     def correspondences(final_t):
         src_t = apply_transform(final_t, src.xyz)

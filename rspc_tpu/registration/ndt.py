@@ -43,6 +43,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rspc_tpu.cloud import Cloud
 from rspc_tpu.config import NDTConfig
@@ -266,54 +267,92 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None
     w_src = valid.astype(xyz.dtype)
 
     if config.neighborhood == 27:
-        offs = jnp.stack(
-            jnp.meshgrid(
-                jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
+        offs_np = np.stack(
+            np.meshgrid(
+                np.arange(-1, 2), np.arange(-1, 2), np.arange(-1, 2),
                 indexing="ij",
             ),
             axis=-1,
-        ).reshape(27, 3)
+        ).reshape(27, 3).astype(np.int32)
     elif config.neighborhood == 7:
-        offs = jnp.asarray(
+        offs_np = np.asarray(
             [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
              [0, 0, 1], [0, 0, -1]],
-            jnp.int32,
+            np.int32,
         )
     elif config.neighborhood == 1:
-        offs = jnp.zeros((1, 3), jnp.int32)
+        offs_np = np.zeros((1, 3), np.int32)
     else:
         raise ValueError("neighborhood must be 27, 7, or 1")
+    offs = jnp.asarray(offs_np)
     k = offs.shape[0]
 
     d = config.dense_grid_dim
 
+    # Per-cell stats packed into ONE [G,10] row — mean(3), the 6 unique
+    # symmetric inverse-covariance components, validity(1) — so the
+    # neighborhood query below is a single gather instead of three
+    # (means + inv_covs + valid). The pack is loop-invariant and XLA
+    # hoists it out of the Newton while_loop; the gather was measured as
+    # the most expensive part of one Newton iteration (tools/roofline.py).
+    icg = grid.inv_covs
+    packed = jnp.concatenate(
+        [
+            grid.means,
+            icg[:, 0, 0:3],   # i00 i01 i02
+            icg[:, 1, 1:3],   # i11 i12
+            icg[:, 2, 2:3],   # i22
+            grid.valid.astype(xyz.dtype)[:, None],
+        ],
+        axis=1,
+    )
+
+    # Widened neighbor table: column block j holds packed[g + flat(off_j)]
+    # via a roll. flat((x,y,z)) = (x*d + y)*d + z is LINEAR in the cell
+    # coords, so flat(center + off) = flat(center) + flat(off) as plain
+    # integers, and the per-(point, offset) gather collapses to ONE row
+    # gather per point — TPU row gathers are latency-bound per ROW, so k
+    # fewer rows is ~k-fold cheaper (measured 1.12 ms for the [N*k]-row
+    # form at N=4096, k=7). The roll's mod-G wraparound at grid faces
+    # aliases rows exactly where a per-dimension bound is crossed, and
+    # ``in_b`` below masks exactly those. Pose-independent: XLA hoists
+    # the build out of the Newton while_loop.
+    g_cells = d * d * d
+    flat_offs = [int((o[0] * d + o[1]) * d + o[2]) for o in offs_np]
+    wide = jnp.concatenate(
+        [jnp.roll(packed, -f, axis=0) for f in flat_offs], axis=1
+    )  # [G, k*10]
+
     def lookup(p):
         """Neighborhood query at pose p: per (point, offset) the voxel
-        Gaussian params and a hit mask. TPU gathers are the expensive part
+        Gaussian params (mu [N,k,3], unique inv-cov components ic6
+        [N,k,6]) and a hit mask. TPU gathers are the expensive part
         of the NDT evaluation, so the Newton loop calls this ONCE per
-        iteration and differentiates the gather-free objective below with
-        the neighborhood frozen — the same granularity at which PCL fixes
-        its radiusSearch results per computeDerivatives call."""
+        iteration (one widened-table row per point) and differentiates
+        the gather-free objective below with the neighborhood frozen —
+        the same granularity at which PCL fixes its radiusSearch results
+        per computeDerivatives call."""
         t = _pose_to_matrix(p)
         pts = apply_transform(t, xyz)
         coords = jnp.floor(pts / res).astype(jnp.int32)  # [N,3]
-        rel = coords[:, None, :] + offs[None, :, :] - grid.origin  # [N,k,3]
+        rel0 = coords - grid.origin  # [N,3] center cell
+        rel = rel0[:, None, :] + offs[None, :, :]  # [N,k,3]
         in_b = jnp.all((rel >= 0) & (rel < d), axis=-1)
-        flat = (rel[..., 0] * d + rel[..., 1]) * d + rel[..., 2]
-        flat = jnp.where(in_b, flat, 0)
-        # dense grid: the cell index IS the slot
-        hit = in_b & jnp.take(grid.valid, flat)
-        idx = jnp.where(hit, flat, 0)
-        mu = jnp.take(grid.means, idx.reshape(-1), axis=0).reshape(
-            idx.shape + (3,)
-        )
-        ic = jnp.take(grid.inv_covs, idx.reshape(-1), axis=0).reshape(
-            idx.shape + (3, 3)
-        )
+        base = (rel0[:, 0] * d + rel0[:, 1]) * d + rel0[:, 2]
+        # mod matches the roll's wraparound: (base % G + flat_off) % G is
+        # the rolled row for flat(center)+flat(off), which equals the
+        # true neighbor index whenever in_b holds. Non-hit entries gather
+        # a real cell's (finite, zeroed-if-invalid) stats and are zeroed
+        # by ``mask`` — no NaN can enter the masked exp.
+        base = jnp.mod(base, g_cells)
+        row = jnp.take(wide, base, axis=0).reshape(-1, k, 10)  # [N,k,10]
+        mu = row[..., 0:3]
+        ic6 = row[..., 3:9]
+        hit = in_b & (row[..., 9] > 0.5)
         x = pts[:, None, :] - mu  # [N,k,3]
         within = jnp.sum(x * x, axis=-1) <= res * res  # radiusSearch(res)
         mask = (hit & within).astype(xyz.dtype) * w_src[:, None]
-        return mu, ic, mask
+        return mu, ic6, mask
 
     def _rot_of(ang):
         return (
@@ -322,86 +361,157 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None
             @ rotation_matrix(ang[2], 2)
         )
 
-    def _common(p, mu, ic, mask):
+    # ---- gram-matmul derivative core -------------------------------------
+    # Two rewrites, each measured (tools/roofline.py):
+    #  * the obvious einsum formulation ("nkij,nkj->nki" matvecs,
+    #    "nk,nki,nkj->nij" outers) lowered to tiny batched matmuls whose
+    #    layout churn left one Newton evaluation at ~1 ms;
+    #  * the unrolled elementwise version fixed the layouts but still
+    #    issued ~60 separate [N,k]->scalar reductions, leaving the
+    #    evaluation latency-bound (0.82 ms for 28k point-neighbor pairs,
+    #    ~0.1% of VPU peak — each reduction is microseconds of work).
+    # Every moment the gradient/Hessian needs has the form
+    #   sum_{n,k} channel_c(n,k) * basis_b(n),
+    # channels = [expt, w*Be (3), w*(d2 BeBe^T - B) (6 unique)] and
+    # basis = [1, x (3), xx^T (6 unique)] — so ALL of them are one
+    # [10, N*k] x [N*k, 10] gram matmul (contraction over the long axis
+    # on the MXU, f32-HIGHEST), followed by constant-size [3,..]
+    # contractions against the rotation-derivative tensors.
+
+    _sym = ((0, 1, 2), (1, 3, 4), (2, 4, 5))  # (i,j) -> unique-pair slot
+
+    def _split(v):  # [..., 3] -> 3 x [...]
+        return v[..., 0], v[..., 1], v[..., 2]
+
+    def _common(p, mu, ic6, mask):
+        """Shared forward sweep: per-(point, neighbor) residual e,
+        B e (unrolled symmetric matvec), weight expt."""
         t = _pose_to_matrix(p)
         pts = apply_transform(t, xyz)
-        e = pts[:, None, :] - mu  # [N,k,3]
-        # bf16 MXU precision is explicitly fine here: NDT is the COARSE
-        # stage (its optimum at 1 m resolution sits mm-cm off regardless)
-        # and the guard + fine ICP + refine stages absorb sub-percent
-        # score noise; the package-wide f32 default would triple the cost
-        # of the hottest [N,k,3,3] contraction in the Newton loop.
-        be = jnp.einsum(
-            "nkij,nkj->nki", ic, e, precision=jax.lax.Precision.DEFAULT
-        )
-        q = jnp.sum(e * be, axis=-1)
+        e0, e1, e2 = _split(pts[:, None, :] - mu)  # each [N,k]
+        i00, i01, i02 = ic6[..., 0], ic6[..., 1], ic6[..., 2]
+        i11, i12, i22 = ic6[..., 3], ic6[..., 4], ic6[..., 5]
+        be0 = i00 * e0 + i01 * e1 + i02 * e2
+        be1 = i01 * e0 + i11 * e1 + i12 * e2
+        be2 = i02 * e0 + i12 * e1 + i22 * e2
+        q = e0 * be0 + e1 * be1 + e2 * be2
         expt = jnp.exp(-0.5 * d2 * q) * mask  # [N,k]
+        return (be0, be1, be2), (i00, i01, i02, i11, i12, i22), expt
+
+    def _angular(p):
+        dr = jax.jacfwd(_rot_of)(p[3:6])  # [3,3,3] constant-size
+        return dr
+
+    def _basis_cols(shape_nk, quadratic):
+        """[N,k,c] basis stack: 1, x, (xx^T unique if quadratic) —
+        broadcast over the neighbor axis (basis depends on n only)."""
+        x0, x1, x2 = _split(xyz)
+        cols = [jnp.ones(shape_nk, xyz.dtype)]
+        bs = [jnp.broadcast_to(x[:, None], shape_nk) for x in (x0, x1, x2)]
+        cols += bs
+        if quadratic:
+            cols += [
+                bs[0] * bs[0], bs[0] * bs[1], bs[0] * bs[2],
+                bs[1] * bs[1], bs[1] * bs[2], bs[2] * bs[2],
+            ]
+        return jnp.stack(cols, axis=-1)
+
+    def fixed_objective(p, mu, ic6, mask):
+        """-score(p) with a frozen neighborhood: pure streaming math, no
+        gathers."""
+        _, _, expt = _common(p, mu, ic6, mask)
         f = d1 * jnp.sum(expt)
         if psum_axis is not None:
             f = jax.lax.psum(f, psum_axis)
-        return e, be, expt, f
+        return f
 
-    def fixed_objective(p, mu, ic, mask):
-        """-score(p) with a frozen neighborhood: pure streaming math, no
-        gathers."""
-        return _common(p, mu, ic, mask)[3]
-
-    def fixed_value_grad(p, mu, ic, mask):
+    def fixed_value_grad(p, mu, ic6, mask):
         """(f, df/dp) in ONE streaming pass — analytic chain rule through
         the per-point map x'(p) = R(ang) x + t (PCL computeDerivatives'
         structure: point-independent angular derivative tensors applied
-        per point), ~3x cheaper than reverse-mode over the einsum."""
-        _, be, expt, f = _common(p, mu, ic, mask)
-        w = d1 * d2 * expt  # [N,k]
-        # df/dx' per point: -sum_k w * B e
-        g_pt = -jnp.einsum("nk,nki->ni", w, be, precision=jax.lax.Precision.DEFAULT)  # [N,3]
-        dr = jax.jacfwd(_rot_of)(p[3:6])  # [3,3,3angles]
-        dx = jnp.einsum("ija,nj->nia", dr, xyz, precision=jax.lax.Precision.DEFAULT)  # [N,3,3]
-        g_t = jnp.sum(g_pt, axis=0)
-        g_a = jnp.einsum("ni,nia->a", g_pt, dx, precision=jax.lax.Precision.DEFAULT)
+        per point). One [4, N*k] x [N*k, 4] gram matmul carries the f /
+        translational / rotational moments together."""
+        (be0, be1, be2), _, expt = _common(p, mu, ic6, mask)
+        w = d1 * d2 * expt
+        ch = jnp.stack([expt, w * be0, w * be1, w * be2])  # [4,N,k]
+        basis = _basis_cols(expt.shape, quadratic=False)   # [N,k,4]
+        mm = jax.lax.dot(
+            ch.reshape(4, -1),
+            basis.reshape(-1, 4),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        f = d1 * mm[0, 0]
+        g_t = -mm[1:4, 0]
+        m = -mm[1:4, 1:4]  # M[i,j] = sum_n g_pt[n,i] xyz[n,j]
+        dr = _angular(p)
+        g_a = jnp.einsum("ija,ij->a", dr, m)  # constant-size
         g = jnp.concatenate([g_t, g_a])
         if psum_axis is not None:
-            g = jax.lax.psum(g, psum_axis)
+            f, g = jax.lax.psum((f, g), psum_axis)
         return f, g
 
-    def fixed_value_grad_hess(p, mu, ic, mask):
+    def fixed_value_grad_hess(p, mu, ic6, mask):
         """(f, grad[6], hess[6,6]) in one pass (Magnusson 2009 eq. 6.12-
         6.13 structure): per-point closed-form gradient/Hessian in x'
         chained through J = [I | dR x] plus the second-order rotation
-        term. Replaces jacfwd(jacrev) — which re-swept the [N,k] einsum
-        14 times — with single-sweep einsums."""
-        _, be, expt, f = _common(p, mu, ic, mask)
-        w = d1 * d2 * expt
-        g_pt = -jnp.einsum("nk,nki->ni", w, be)
-        # d2f/dx'2 per point, k-summed: sum_k w (d2 (Be)(Be)^T - B)
-        # d2f/de2, k-summed: d/de[-w Be] = d2 w (Be)(Be)^T - w B
-        h_pt = jnp.einsum(
-            "nk,nki,nkj->nij", d2 * w, be, be,
-            precision=jax.lax.Precision.DEFAULT,
-        ) - jnp.einsum(
-            "nk,nkij->nij", w, ic, precision=jax.lax.Precision.DEFAULT
-        )
-        ang = p[3:6]
-        dr = jax.jacfwd(_rot_of)(ang)          # [3,3,3]
-        ddr = jax.jacfwd(jax.jacfwd(_rot_of))(ang)  # [3,3,3,3]
-        dx = jnp.einsum("ija,nj->nia", dr, xyz, precision=jax.lax.Precision.DEFAULT)     # [N,3,3]
-        ddx = jnp.einsum("ijab,nj->niab", ddr, xyz, precision=jax.lax.Precision.DEFAULT)  # [N,3,3,3]
+        term. One [10, N*k] x [N*k, 10] gram matmul yields every moment:
+        row 0 = expt (f), rows 1-3 = w*Be (gradient), rows 4-9 = the 6
+        unique components of w*(d2 BeBe^T - B) (Hessian); col 0 = plain
+        sums, cols 1-3 = first moments vs x, cols 4-9 = second moments
+        vs the unique xx^T products."""
+        (be0, be1, be2), ii, expt = _common(p, mu, ic6, mask)
+        i00, i01, i02, i11, i12, i22 = ii
+        w = d1 * d2 * expt  # [N,k]
+        ch = jnp.stack(
+            [
+                expt,
+                w * be0,
+                w * be1,
+                w * be2,
+                w * (d2 * be0 * be0 - i00),
+                w * (d2 * be0 * be1 - i01),
+                w * (d2 * be0 * be2 - i02),
+                w * (d2 * be1 * be1 - i11),
+                w * (d2 * be1 * be2 - i12),
+                w * (d2 * be2 * be2 - i22),
+            ]
+        )  # [10,N,k]
+        basis = _basis_cols(expt.shape, quadratic=True)  # [N,k,10]
+        mm = jax.lax.dot(
+            ch.reshape(10, -1),
+            basis.reshape(-1, 10),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [10,10]
 
-        g_t = jnp.sum(g_pt, axis=0)
-        g_a = jnp.einsum("ni,nia->a", g_pt, dx, precision=jax.lax.Precision.DEFAULT)
+        sym = np.asarray(_sym)
+        f = d1 * mm[0, 0]
+        g_t = -mm[1:4, 0]
+        m = -mm[1:4, 1:4]             # M[i,j]    = sum g_pt[n,i] x[n,j]
+        htt = mm[4 + sym, 0]          # [3,3]     = sum h_pt[n,i,j]
+        h3 = mm[4 + sym[:, :, None], 1 + np.arange(3)[None, None, :]]
+        # h3[i,j,p]   = sum h_pt[n,i,j] x[n,p]
+        h4 = mm[4 + sym[:, None, :, None], 4 + sym[None, :, None, :]]
+        # h4[i,p,j,q] = sum h_pt[n,i,j] x[n,p] x[n,q]
+
+        ang = p[3:6]
+        dr = jax.jacfwd(_rot_of)(ang)              # [3,3,3]
+        ddr = jax.jacfwd(jax.jacfwd(_rot_of))(ang)  # [3,3,3,3]
+
+        # all remaining contractions are constant-size [3,..]
+        g_a = jnp.einsum("ija,ij->a", dr, m)
         grad = jnp.concatenate([g_t, g_a])
 
-        htt = jnp.sum(h_pt, axis=0)                       # [3,3]
-        hta = jnp.einsum("nij,nja->ia", h_pt, dx, precision=jax.lax.Precision.DEFAULT)         # [3,3]
-        haa = jnp.einsum("nia,nij,njb->ab", dx, h_pt, dx, precision=jax.lax.Precision.DEFAULT)  # [3,3]
-        haa = haa + jnp.einsum("ni,niab->ab", g_pt, ddx, precision=jax.lax.Precision.DEFAULT)  # 2nd-order term
+        hta = jnp.einsum("jpa,ijp->ia", dr, h3)            # [3,3]
+        haa = jnp.einsum(
+            "ipa,jqb,ipjq->ab", dr, dr, h4
+        ) + jnp.einsum("ijab,ij->ab", ddr, m)              # [3,3]
         top = jnp.concatenate([htt, hta], axis=1)
         bot = jnp.concatenate([hta.T, haa], axis=1)
         hess = jnp.concatenate([top, bot], axis=0)
         if psum_axis is not None:
-            # one fused 43-scalar collective: grad + hessian are additive
-            # over the sharded source points (f was already summed)
-            grad, hess = jax.lax.psum((grad, hess), psum_axis)
+            # one fused 43-scalar collective: f + grad + hessian are
+            # additive over the sharded source points
+            f, grad, hess = jax.lax.psum((f, grad, hess), psum_axis)
         return f, grad, hess
 
     def objective(p):

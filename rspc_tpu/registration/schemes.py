@@ -239,15 +239,9 @@ def _nn_sweep(src_xyz, src_valid, tgt_xyz, tgt_valid, use_pallas=True,
     from rspc_tpu.ops.nn import nearest_neighbors
 
     if use_pallas and jax.default_backend() == "tpu":
-        from rspc_tpu.ops.nn_pallas import (
-            MAX_VMEM_TARGET,
-            nearest_neighbors_pallas,
-        )
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
 
-        if tgt_xyz.shape[0] <= MAX_VMEM_TARGET:
-            return nearest_neighbors_pallas(
-                src_xyz, src_valid, tgt_xyz, tgt_valid
-            )
+        return nearest_neighbors_pallas(src_xyz, src_valid, tgt_xyz, tgt_valid)
     kw = {} if chunk is None else {"chunk": chunk}
     return nearest_neighbors(src_xyz, src_valid, tgt_xyz, tgt_valid, **kw)
 
@@ -494,6 +488,126 @@ def _anchor_refine(
     refined = jnp.einsum("bij,bjk->bik", rel, totals)
     total = jnp.where(accepted[:, None, None], refined, totals)
     return total, accepted
+
+
+def _map_anchor_stages(stages):
+    """anchor_stages are tuned use_pallas=False for the batched/vmapped
+    frame-0 anchor; the map anchor's sweeps are single flat [m x cap]
+    launches where the Pallas kernel applies."""
+    return tuple(dataclasses.replace(s, use_pallas=True) for s in stages)
+
+
+def _rigid_inverse(t):
+    """Inverse of a rigid 4x4 (R^T, -R^T p) — no linear solve."""
+    r = t[:3, :3]
+    p = t[:3, 3]
+    return (
+        jnp.eye(4, dtype=t.dtype)
+        .at[:3, :3].set(r.T)
+        .at[:3, 3].set(-r.T @ p)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "stages", "margin", "gate_radius", "gate_inlier_keep",
+        "gate_rmse_blowup",
+    ),
+)
+def _anchor_refine_map(
+    fulls_all: Cloud,
+    totals,
+    stages,
+    margin,
+    gate_radius=0.03,
+    gate_inlier_keep=0.95,
+    gate_rmse_blowup=1.5,
+):
+    """Progressive map anchoring (RefineConfig.anchor_mode="map"): a
+    local-map SLAM step for trajectories that rotate away from frame 0.
+
+    Frames refine SEQUENTIALLY (lax.scan) against a growing fixed-
+    capacity map holding every previously ACCEPTED frame's refined full
+    cloud (frame 0 seeds it). Two properties the batched frame-0 anchor
+    cannot provide:
+
+      * every frame keeps full-overlap targets (its accepted
+        predecessors are in the map), so the acceptance gate fires on
+        alignment quality, not on lost frame-0 overlap;
+      * each accepted correction carries onto the NEXT frame's start
+        (``corr`` in the carry) — a drift correction at frame i moves
+        frames i+1.. with it instead of leaving them on the drifted
+        chain.
+
+    The map is prefix-dense (contiguous appends at a carried offset;
+    rejected frames write masked-out rows that the next accepted frame
+    overwrites), so the NN sweep's dynamic live bound keeps early
+    steps cheap.
+
+    Acceptance mirrors _anchor_refine's overlap-aware gate (inlier keep
+    + POINT-TO-PLANE residual margin + point-rmse blowup guard), not
+    _refine_step's capped point mean: the stages minimize the plane
+    residual and legitimately trade meaningless in-plane point distance
+    for out-of-plane accuracy, so a point-distance gate rejects genuine
+    improvements (measured: +10% capped point mean on a refine that
+    moved the pose 4e-3 closer). Returns (totals', accepted[n-1])."""
+    n, m = fulls_all.valid.shape
+    dtype = fulls_all.xyz.dtype
+    cap = n * m
+
+    zeros_rgb = jnp.zeros((cap, 3), dtype)
+    map_xyz = jnp.zeros((cap, 3), dtype).at[:m].set(fulls_all.xyz[0])
+    map_nrm = jnp.zeros((cap, 3), dtype).at[:m].set(fulls_all.normal[0])
+    map_val = jnp.zeros((cap,), bool).at[:m].set(fulls_all.valid[0])
+
+    rest = jax.tree.map(lambda x: x[1:], fulls_all)
+
+    pallas_ok = stages[-1].use_pallas
+
+    def gate_stats(c: Cloud, tgt: Cloud):
+        d2, idx = _nn_sweep(c.xyz, c.valid, tgt.xyz, tgt.valid, pallas_ok)
+        inl = c.valid & jnp.isfinite(d2) & (d2 < gate_radius * gate_radius)
+        cnt = jnp.sum(inl.astype(dtype))
+        msq = jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(cnt, 1.0)
+        msq = jnp.where(cnt > 0, msq, jnp.asarray(jnp.inf, dtype))
+        q = jnp.take(tgt.xyz, idx, axis=0)
+        nq = jnp.take(tgt.normal, idx, axis=0)
+        rr = jnp.sum((c.xyz - q) * nq, axis=-1)
+        pmsq = jnp.sum(jnp.where(inl, rr * rr, 0.0)) / jnp.maximum(cnt, 1.0)
+        pmsq = jnp.where(cnt > 0, pmsq, jnp.asarray(jnp.inf, dtype))
+        return cnt, msq, pmsq
+
+    def step(carry, inp):
+        mx, mn, mv, off, corr = carry
+        src, total = inp
+        base_t = corr @ total
+        tgt = Cloud(mx, zeros_rgb, mv, normal=mn)
+        src_t = apply_transform_cloud(base_t, src)
+        _, rel, cur = _run_stages(tgt, src_t, stages)
+        nb, rb, pb = gate_stats(src_t, tgt)
+        na, ra, pa = gate_stats(cur, tgt)
+        accepted = (
+            (na >= nb * gate_inlier_keep)
+            & (pa <= pb * margin)
+            & (ra <= rb * gate_rmse_blowup)
+        )
+        total_new = jnp.where(accepted, rel @ base_t, base_t)
+        corr_new = jnp.where(
+            accepted, total_new @ _rigid_inverse(total), corr
+        )
+        placed = apply_transform_cloud(total_new, src)
+        mx2 = jax.lax.dynamic_update_slice(mx, placed.xyz, (off, 0))
+        mn2 = jax.lax.dynamic_update_slice(mn, placed.normal, (off, 0))
+        mv2 = jax.lax.dynamic_update_slice(
+            mv, placed.valid & accepted, (off,)
+        )
+        off2 = off + jnp.where(accepted, m, 0)
+        return (mx2, mn2, mv2, off2, corr_new), (total_new, accepted)
+
+    init = (map_xyz, map_nrm, map_val, jnp.int32(m), jnp.eye(4, dtype=dtype))
+    _, (totals_new, accepted) = jax.lax.scan(step, init, (rest, totals))
+    return totals_new, accepted
 
 
 @partial(
@@ -828,24 +942,38 @@ def _registration_fused(
     totals = out["totals"]
     accepted = ()
     if r.enabled and r.anchor_to_first:
-        first = jax.tree.map(lambda x: x[0], full)
-        restf = jax.tree.map(lambda x: x[1:], full)
-        totals, accepted = _anchor_refine(
-            first, restf, totals, r.anchor_stages, 1.0,
-            r.gate_radius, r.gate_inlier_keep, r.gate_rmse_blowup,
-        )
+        if r.anchor_mode == "map":
+            totals, accepted = _anchor_refine_map(
+                full, totals, _map_anchor_stages(r.anchor_stages),
+                r.map_accept_margin, r.gate_radius, r.gate_inlier_keep,
+                r.gate_rmse_blowup,
+            )
+        else:
+            first = jax.tree.map(lambda x: x[0], full)
+            restf = jax.tree.map(lambda x: x[1:], full)
+            totals, accepted = _anchor_refine(
+                first, restf, totals, r.anchor_stages, 1.0,
+                r.gate_radius, r.gate_inlier_keep, r.gate_rmse_blowup,
+            )
     out["totals"] = totals
     out["anchor_accepted"] = accepted
     out["features"] = feats
     out["full_down"] = full
 
     # global cloud from the already-stacked originals: one batched
-    # transform over [n, H*W, 3], gated per frame by convergence
+    # transform over [n, H*W, 3], gated per frame by convergence. A frame
+    # the anchor gate ACCEPTED is verified-aligned against frame 0 even
+    # if its fine edge-ICP reported non-convergence (edge-starved scenes:
+    # the robustness matrix's low-texture room converges 0/9 on edges yet
+    # lands at 3.5e-4 after anchoring) — merge it rather than drop it.
+    merge_ok = out["fine"].converged
+    if not isinstance(accepted, tuple):
+        merge_ok = merge_ok | accepted
     hw = stacked.xyz.shape[1] * stacked.xyz.shape[2]
     eye = jnp.eye(4, dtype=totals.dtype)
     all_t = jnp.concatenate([eye[None], totals], axis=0)
     conv_all = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), out["fine"].converged], axis=0
+        [jnp.ones((1,), jnp.bool_), merge_ok], axis=0
     )
     xyz = jax.vmap(apply_transform)(all_t, stacked.xyz.reshape(n, hw, 3))
     out["global"] = Cloud(
@@ -1148,23 +1276,39 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         )
         totals = out["totals"]
         if refine_on and cfg.refine.anchor_to_first and n >= 2:
-            totals, self.anchor_accepted = _anchor_refine(
-                self._full_down[0],
-                stack(self._full_down[1:]),
-                totals,
-                cfg.refine.anchor_stages,
-                1.0,  # inlier gate: monotone rmse bound
-                cfg.refine.gate_radius,
-                cfg.refine.gate_inlier_keep,
-                cfg.refine.gate_rmse_blowup,
-            )
+            if cfg.refine.anchor_mode == "map":
+                totals, self.anchor_accepted = _anchor_refine_map(
+                    stack(self._full_down),
+                    totals,
+                    _map_anchor_stages(cfg.refine.anchor_stages),
+                    cfg.refine.map_accept_margin,
+                    cfg.refine.gate_radius,
+                    cfg.refine.gate_inlier_keep,
+                    cfg.refine.gate_rmse_blowup,
+                )
+            else:
+                totals, self.anchor_accepted = _anchor_refine(
+                    self._full_down[0],
+                    stack(self._full_down[1:]),
+                    totals,
+                    cfg.refine.anchor_stages,
+                    1.0,  # inlier gate: monotone rmse bound
+                    cfg.refine.gate_radius,
+                    cfg.refine.gate_inlier_keep,
+                    cfg.refine.gate_rmse_blowup,
+                )
         self.total_transforms = totals
         self._dump_edges(
             [out["edges_down0"]] + list(edges[1:]), out["target"]
         )
-        return _assemble_global(
-            originals, totals, out["fine"].converged
-        )
+        merge_ok = out["fine"].converged
+        if getattr(self, "anchor_accepted", None) is not None and not (
+            isinstance(self.anchor_accepted, tuple)
+        ):
+            # anchor-accepted frames are verified-aligned; merge them
+            # even when the fine edge-ICP was starved (see _chain_fused)
+            merge_ok = merge_ok | self.anchor_accepted
+        return _assemble_global(originals, totals, merge_ok)
 
     def _global_registration_loop(
         self, edges: List[Cloud], originals: List[Cloud]
@@ -1256,18 +1400,31 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             and cfg.refine.anchor_to_first
             and totals_arr is not None
         ):
-            totals_arr, self.anchor_accepted = _anchor_refine(
-                self._full_down[0],
-                jax.tree.map(
-                    lambda *x: jnp.stack(x), *self._full_down[1:]
-                ),
-                totals_arr,
-                cfg.refine.anchor_stages,
-                1.0,  # inlier gate: monotone rmse bound
-                cfg.refine.gate_radius,
-                cfg.refine.gate_inlier_keep,
-                cfg.refine.gate_rmse_blowup,
-            )
+            if cfg.refine.anchor_mode == "map":
+                totals_arr, self.anchor_accepted = _anchor_refine_map(
+                    jax.tree.map(
+                        lambda *x: jnp.stack(x), *self._full_down
+                    ),
+                    totals_arr,
+                    _map_anchor_stages(cfg.refine.anchor_stages),
+                    cfg.refine.map_accept_margin,
+                    cfg.refine.gate_radius,
+                    cfg.refine.gate_inlier_keep,
+                    cfg.refine.gate_rmse_blowup,
+                )
+            else:
+                totals_arr, self.anchor_accepted = _anchor_refine(
+                    self._full_down[0],
+                    jax.tree.map(
+                        lambda *x: jnp.stack(x), *self._full_down[1:]
+                    ),
+                    totals_arr,
+                    cfg.refine.anchor_stages,
+                    1.0,  # inlier gate: monotone rmse bound
+                    cfg.refine.gate_radius,
+                    cfg.refine.gate_inlier_keep,
+                    cfg.refine.gate_rmse_blowup,
+                )
         self.total_transforms = totals_arr
 
         if self.saves_edge_pcds and self.dataset_dir is not None:
@@ -1279,10 +1436,14 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                 keep_invalid=False,
             )
         if refine_on and cfg.refine.anchor_to_first and totals_arr is not None:
-            # anchored transforms supersede the in-loop merges
+            # anchored transforms supersede the in-loop merges;
+            # anchor-accepted frames merge even if fine edge-ICP starved
+            # (see _chain_fused)
             conv = jnp.asarray(
                 [bool(f.converged) for _, f in self.results]
             )
+            if not isinstance(self.anchor_accepted, tuple):
+                conv = conv | jnp.asarray(self.anchor_accepted)
             return _assemble_global(originals, totals_arr, conv)
         return global_cloud
 

@@ -23,6 +23,26 @@ from rspc_tpu.utils.log import get_logger
 _log = get_logger("profiling")
 
 
+def device_sync(tree) -> None:
+    """True device barrier for timing: ``jax.block_until_ready`` PLUS a
+    forced 1-element device->host read per array leaf.
+
+    Through the axon TPU tunnel ``block_until_ready`` can return before
+    the device finishes (async dispatch): a 25-Gpair Pallas sweep
+    "completed" in 0.0 ms under ``block_until_ready`` alone but took
+    169 ms when a readback forced the sync. Only a device->host transfer
+    is a reliable barrier, so every timed region in bench.py /
+    benchmarks/ / tools/ must close with this. The 1-element read of a
+    leaf depends on the whole program that produced it, so it costs one
+    ~0.1 ms round trip, not a buffer transfer."""
+    import numpy as np
+
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "ravel")]
+    jax.block_until_ready(leaves)
+    for l in leaves:
+        np.asarray(l.ravel()[:1])
+
+
 class stage_timer:
     """Accumulates named stage wall times (blocking on device completion).
 
@@ -45,7 +65,7 @@ class stage_timer:
             yield
         finally:
             if sync is not None:
-                jax.block_until_ready(sync)
+                device_sync(sync)
             dt = time.perf_counter() - t0
             self.times[name] = self.times.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

@@ -12,10 +12,14 @@ init, so setting it here is still in time.
 
 import os
 
-# Explicit TPU run (JAX_PLATFORMS=axon pytest ...) keeps the real
+# Explicit on-chip run (RSPC_ONCHIP_TESTS=1 pytest ...) keeps the real
 # backend so the compiled-lowering tests (tests/test_nn_onchip.py) can
 # execute on-chip; everything else runs the virtual-CPU-mesh setup.
-_TPU_RUN = os.environ.get("JAX_PLATFORMS", "").startswith("axon")
+# NOTE: this must be an opt-in variable of our own, NOT a sniff of
+# JAX_PLATFORMS — the environment exports JAX_PLATFORMS=axon ambiently,
+# which silently routed the whole suite through the TPU tunnel (1 real
+# device -> mesh tests fail, and every tiny op pays tunnel latency).
+_TPU_RUN = os.environ.get("RSPC_ONCHIP_TESTS", "") == "1"
 
 if not _TPU_RUN:
     _flags = os.environ.get("XLA_FLAGS", "")

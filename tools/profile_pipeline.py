@@ -17,7 +17,10 @@ import os
 import sys
 import time
 
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rspc_tpu.utils.profiling import device_sync  # noqa: E402
 
 
 def main():
@@ -42,16 +45,16 @@ def main():
         rgb=jnp.stack([c.rgb for c in clouds]),
         valid=jnp.stack([c.valid for c in clouds]),
     )
-    jax.block_until_ready(stacked.xyz)
+    device_sync(stacked.xyz)
 
     def timed(name, fn, reps=6):
         out = fn()
-        jax.block_until_ready(jax.tree.leaves(out))
+        device_sync(jax.tree.leaves(out))
         ts = []
         for _ in range(reps):
             t0 = time.time()
             out = fn()
-            jax.block_until_ready(jax.tree.leaves(out))
+            device_sync(jax.tree.leaves(out))
             ts.append(time.time() - t0)
         ts.sort()
         print(
@@ -100,7 +103,7 @@ def main():
     def e2e():
         s = S.NDTEdgeBasedRegistration(rads=yaw, config=cfg)
         res = s.registration(clouds)
-        jax.block_until_ready(res.xyz)
+        device_sync(res.xyz)
         return res
 
     timed("END-TO-END (scheme)", e2e)

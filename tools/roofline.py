@@ -30,7 +30,10 @@ import time
 
 import numpy as np
 
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rspc_tpu.utils.profiling import device_sync  # noqa: E402
 
 HBM_PEAK = 819e9          # B/s, TPU v5e
 VPU_PEAK_EST = 4e12       # FLOP/s f32, estimate (stated in module docstring)
@@ -40,8 +43,43 @@ def log(*a):
     print(*a, flush=True)
 
 
-def _timed_chain(fn, x0, k=32, reps=3):
-    """Per-call device time of fn by chaining k dependent calls in one jit."""
+_CALL_FLOOR = None
+
+
+def _call_floor():
+    """Measured per-CALL dispatch+readback overhead of this process's
+    tunnel session (a trivial one-op chain). The axon tunnel's round
+    trip VARIES between sessions — measured 0.1 ms and ~28 ms on the
+    same day — so it must be measured, not assumed, and subtracted from
+    every chained timing (at k=32 an unsubtracted 28 ms floor inflates
+    per-call numbers by ~0.9 ms)."""
+    global _CALL_FLOOR
+    if _CALL_FLOOR is None:
+        import jax
+        import jax.numpy as jnp
+
+        x0 = jnp.zeros((8,), jnp.float32)
+
+        @jax.jit
+        def trivial(x):
+            return x + 1.0
+
+        out = trivial(x0)
+        device_sync(out)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = trivial(x0)
+            device_sync(out)
+            ts.append(time.perf_counter() - t0)
+        _CALL_FLOOR = min(ts)
+        log(f"per-call tunnel floor: {_CALL_FLOOR*1e3:.2f} ms (subtracted)")
+    return _CALL_FLOOR
+
+
+def _timed_chain(fn, x0, k=128, reps=3):
+    """Per-call device time of fn by chaining k dependent calls in one
+    jit; the measured per-call tunnel floor is subtracted."""
     import jax
 
     @jax.jit
@@ -51,14 +89,14 @@ def _timed_chain(fn, x0, k=32, reps=3):
         return jax.lax.fori_loop(0, k, body, x)
 
     out = chain(x0)
-    jax.block_until_ready(out)
+    device_sync(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = chain(x0)
-        jax.block_until_ready(out)
+        device_sync(out)
         ts.append(time.perf_counter() - t0)
-    return min(ts) / k
+    return max(min(ts) - _call_floor(), 0.0) / k
 
 
 def nn_roofline():
@@ -123,7 +161,7 @@ def ndt_roofline():
     k = {27: 27, 7: 7, 1: 1}[cfg.neighborhood]
     p0 = jnp.zeros(6, jnp.float32)
     mu, ic, mask = jax.jit(lookup)(p0)
-    jax.block_until_ready(mask)
+    device_sync(mask)
 
     def step(p):
         f, g, h = fvgh(p, mu, ic, mask)
@@ -183,12 +221,12 @@ def dispatch_split():
 
     # single-call wall (includes one tunnel dispatch round trip)
     r = icp_align(src, tgt, cfg, guess)
-    jax.block_until_ready(r.transform)
+    device_sync(r.transform)
     singles = []
     for _ in range(6):
         t0 = time.perf_counter()
         r = icp_align(src, tgt, cfg, guess)
-        jax.block_until_ready(r.transform)
+        device_sync(r.transform)
         singles.append(time.perf_counter() - t0)
     single = min(singles)
 
@@ -203,12 +241,12 @@ def dispatch_split():
         return jax.lax.fori_loop(0, k, body, g)
 
     out = chain(guess)
-    jax.block_until_ready(out)
+    device_sync(out)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = chain(guess)
-        jax.block_until_ready(out)
+        device_sync(out)
         ts.append(time.perf_counter() - t0)
     per = min(ts) / k
     return {
