@@ -32,15 +32,20 @@ def device_sync(tree) -> None:
     "completed" in 0.0 ms under ``block_until_ready`` alone but took
     169 ms when a readback forced the sync. Only a device->host transfer
     is a reliable barrier, so every timed region in bench.py /
-    benchmarks/ / tools/ must close with this. The 1-element read of a
-    leaf depends on the whole program that produced it, so it costs one
-    ~0.1 ms round trip, not a buffer transfer."""
+    benchmarks/ / tools/ must close with this.
+
+    Only the FIRST leaf is read: all outputs of one executable complete
+    together, and the tunnel round trip varies 0.1-28 ms per read — a
+    per-leaf read inflated multi-output stage timings by hundreds of ms
+    (measured: the 8-leaf phase-1 output "took" 300 ms of which ~220 ms
+    was readbacks). Callers timing MULTIPLE programs must sync each
+    program's output separately."""
     import numpy as np
 
     leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "ravel")]
     jax.block_until_ready(leaves)
-    for l in leaves:
-        np.asarray(l.ravel()[:1])
+    if leaves:
+        np.asarray(leaves[0].ravel()[:1])
 
 
 class stage_timer:
