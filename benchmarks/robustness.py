@@ -81,7 +81,13 @@ def main():
         NDTEdgeBasedRegistration,
     )
 
-    which = set(sys.argv[1:]) or set(scenarios())
+    args = sys.argv[1:]
+    only_schemes = None
+    for a in list(args):
+        if a.startswith("--schemes="):
+            only_schemes = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
+    which = set(args) or set(scenarios())
     n_frames = 10
     config = north_star_config()
     rows = []
@@ -106,13 +112,17 @@ def main():
             errs = [np.abs(t[i] - gts_n[i]).max() for i in range(len(gts_n))]
             return float(np.max(errs)), float(np.mean(errs))
 
-        for scheme_name in (
+        all_schemes = (
             "ndt_edge",
             "ndt_edge_warm",
+            "ndt_edge_rescue",
             "ndt_edge_map",
             "icp_edge",
             "incremental",
-        ):
+        )
+        for scheme_name in all_schemes:
+            if only_schemes is not None and scheme_name not in only_schemes:
+                continue
             t0 = time.time()
             try:
                 if scheme_name == "ndt_edge":
@@ -128,11 +138,27 @@ def main():
                     cfg_m = dataclasses.replace(
                         config,
                         coarse_warm_start=True,
+                        rescue_inlier_frac=0.55,
                         refine=dataclasses.replace(
                             config.refine, anchor_mode="map"
                         ),
                     )
                     s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_m)
+                    r = s.registration(clouds)
+                elif scheme_name == "ndt_edge_rescue":
+                    # warm start + gated wide-cap rescue: the warm start
+                    # fixes the systematic guess drift, the rescue pulls
+                    # pairs out of coarse-stage local optima (inlier
+                    # fraction collapse at the fine cap fires a 10 cm
+                    # p2p re-solve, never-worsen guarded)
+                    import dataclasses
+
+                    cfg_r = dataclasses.replace(
+                        config,
+                        coarse_warm_start=True,
+                        rescue_inlier_frac=0.55,
+                    )
+                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_r)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_warm":
                     # coarse_warm_start carries the previous pair's

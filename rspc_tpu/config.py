@@ -336,13 +336,28 @@ class PipelineConfig:
     # (single device dispatch for the whole registration). Semantically
     # identical to the per-frame loop; disable to step frames from Python.
     use_scan: bool = True
-    # Warm-start the coarse stage with the PREVIOUS pair's correction
-    # (coarse_result @ guess^-1, composed onto the next static/IMU
-    # guess). Consecutive pairs of a smooth trajectory need near-equal
-    # corrections, so Newton starts inside its terminal basin — measured
-    # to cut the NDT iteration total by ~2x on the bench sequence. Off by
-    # default: the reference seeds every pair from the raw guess.
+    # Constant-velocity warm start for the coarse stage: predict each
+    # pair's transform as (previous achieved transform) o (raw guess
+    # increment) o (carried local correction). Consecutive pairs of a
+    # smooth trajectory share their per-frame motion, so Newton starts
+    # inside its terminal basin — and unlike a global-frame correction,
+    # the LOCAL carry also captures per-frame translation the
+    # static/IMU guesses ignore (the partial-overlap failure mode). Off
+    # by default: the reference seeds every pair from the raw guess.
     coarse_warm_start: bool = False
+    # Gated wide-cap rescue stage (no reference analog): after the fine
+    # ICP, if the fraction of valid source points with a correspondence
+    # inside the fine cap falls below ``rescue_inlier_frac``, the pose is
+    # outside the fine stage's basin (measured signature of NDT local
+    # optima under partial overlap: inlier fraction 0.09-0.29 vs 0.5+
+    # when aligned). The rescue runs ``rescue_iterations`` point-to-point
+    # ICP iterations at the wider ``rescue_cap`` and re-fines; the result
+    # is kept only when it beats the un-rescued pose under the capped NN
+    # metric (never-worsen). 0 disables (reference-parity behavior: a
+    # coarse-stage local optimum is simply kept).
+    rescue_inlier_frac: float = 0.0
+    rescue_cap: float = 0.1
+    rescue_iterations: int = 8
     rotation: RotationEstimatorConfig = RotationEstimatorConfig()
     translation: TranslationEstimatorConfig = TranslationEstimatorConfig()
     capture: CaptureConfig = CaptureConfig()

@@ -165,10 +165,18 @@ class TwoPhaseRegistrationScheme(RegistrationScheme):
         return self.global_registration(feature_clouds)
 
 
-@partial(jax.jit, static_argnames=("icp_cfg", "leaf", "voxel_cap", "guard_cap"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "icp_cfg", "leaf", "voxel_cap", "guard_cap", "rescue_thresh",
+        "rescue_cap", "rescue_iters",
+    ),
+)
 def _icp_pair_step(
     target: Cloud, edge: Cloud, guess, icp_cfg, leaf, voxel_cap,
     guard_cap: float = 0.0, guard_fallback=None,
+    rescue_thresh: float = 0.0, rescue_cap: float = 0.1,
+    rescue_iters: int = 8,
 ):
     """One frame of the edge-ICP chain: downsample source edges, coarse ICP
     with guess, fine ICP without, compose. The coarse stage's fitness is
@@ -176,49 +184,76 @@ def _icp_pair_step(
     so its extra sweep is skipped. ``guard_fallback`` overrides the
     never-worsen gate's fallback hypothesis (default: the guess) — used
     by warm-started chains to fall back to the raw, correction-free
-    guess."""
+    guess. With ``rescue_thresh > 0`` the gated wide-cap rescue
+    (:func:`_rescue_from`) is folded into the returned fine result."""
     src_down = voxel_downsample(edge, leaf, voxel_cap)
     coarse_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
     coarse = icp_align(src_down, target, coarse_cfg, guess)
     if guard_cap > 0.0:
-        fallback = guess if guard_fallback is None else guard_fallback
+        # hypotheses: the coarse result, the (possibly warmed) guess it
+        # started from, and — under warm start — the raw guess as the
+        # correction-independent escape hatch. Keeping the warmed guess
+        # in the pool matters: the coarse stage can diverge FROM a good
+        # prediction into a local optimum that still beats the raw guess
+        # (and it gets the _WARM_GUARD_MARGIN score preference — see
+        # _chain_scan).
+        hyps = [coarse.transform, guess]
+        w = None
+        if guard_fallback is not None:
+            hyps.append(guard_fallback)
+            w = (1.0, _WARM_GUARD_MARGIN, 1.0)
         coarse = dataclasses.replace(
             coarse,
-            transform=_guard_transform(
-                coarse.transform, fallback, src_down, target, guard_cap
-            ),
+            transform=_guard_best(hyps, src_down, target, guard_cap, w),
         )
     aligned = apply_transform_cloud(coarse.transform, src_down)
     fine = icp_align(aligned, target, icp_cfg)
     fine_aligned = apply_transform_cloud(fine.transform, aligned)
+    fine, fine_aligned = _maybe_rescue(
+        fine, fine_aligned, target, icp_cfg, rescue_thresh, rescue_cap,
+        rescue_iters,
+    )
     return coarse, fine, fine_aligned
 
 
 @partial(
     jax.jit,
-    static_argnames=("ndt_cfg", "icp_cfg", "leaf", "voxel_cap", "guard_cap"),
+    static_argnames=(
+        "ndt_cfg", "icp_cfg", "leaf", "voxel_cap", "guard_cap",
+        "rescue_thresh", "rescue_cap", "rescue_iters",
+    ),
 )
 def _ndt_pair_step(
     target: Cloud, edge: Cloud, guess, ndt_cfg, icp_cfg, leaf, voxel_cap,
     guard_cap: float = 0.0, guard_fallback=None,
+    rescue_thresh: float = 0.0, rescue_cap: float = 0.1,
+    rescue_iters: int = 8,
 ):
     """One frame of the NDT chain: downsample, NDT coarse with guess, fine
     ICP, compose (src/ndt_edge_based_registration.hpp:66-108).
-    ``guard_fallback`` as in :func:`_icp_pair_step`."""
+    ``guard_fallback`` / rescue args as in :func:`_icp_pair_step`."""
     src_down = voxel_downsample(edge, leaf, voxel_cap)
     grid = build_ndt_grid(target, ndt_cfg)
     coarse = ndt_align(src_down, grid, ndt_cfg, guess)
     if guard_cap > 0.0:
-        fallback = guess if guard_fallback is None else guard_fallback
+        # see _icp_pair_step: candidate + started-from guess (+ raw
+        # guess under warm start, with the prediction's score margin)
+        hyps = [coarse.transform, guess]
+        w = None
+        if guard_fallback is not None:
+            hyps.append(guard_fallback)
+            w = (1.0, _WARM_GUARD_MARGIN, 1.0)
         coarse = dataclasses.replace(
             coarse,
-            transform=_guard_transform(
-                coarse.transform, fallback, src_down, target, guard_cap
-            ),
+            transform=_guard_best(hyps, src_down, target, guard_cap, w),
         )
     aligned = apply_transform_cloud(coarse.transform, src_down)
     fine = icp_align(aligned, target, icp_cfg)
     fine_aligned = apply_transform_cloud(fine.transform, aligned)
+    fine, fine_aligned = _maybe_rescue(
+        fine, fine_aligned, target, icp_cfg, rescue_thresh, rescue_cap,
+        rescue_iters,
+    )
     return coarse, fine, fine_aligned
 
 
@@ -265,27 +300,148 @@ def _capped_mean_sq(
     return s / jnp.maximum(n, 1.0)
 
 
+# Preference multiplier for the constant-velocity prediction inside the
+# coarse guard's hypothesis vote: the prediction wins unless a competitor
+# beats its capped-NN score by >15%. Rationale (measured on the
+# partial-overlap chain): when the coarse stage latches onto the WRONG
+# part of the accumulated target, its score lands within ~10% of the
+# good prediction's (points sit on surfaces, just the wrong ones; the
+# aliasing strengthens as the accumulated target grows). Rejecting a
+# genuine coarse improvement is cheap — the prediction is already
+# near-truth there and the fine/rescue stages close the residual — while
+# accepting an aliased pose poisons the chain, so the margin errs
+# aggressive.
+_WARM_GUARD_MARGIN = 0.85
+
+# Minimum fine-cap inlier-count growth for a fired rescue to be kept —
+# see _rescue_from's keep criterion. Noise-caused firings measure ~1.0x
+# gain, genuine local-optimum escapes 2-5x; 1.15 keeps marginal genuine
+# escapes on noisy partial-overlap scenes while still rejecting pure
+# noise drifts.
+_RESCUE_KEEP_GAIN = 1.15
+
+
+def _guard_best(hypotheses, cloud: Cloud, tgt: Cloud, cap, weights=None):
+    """Return the hypothesis transform with the best capped-NN score
+    (never-worsen gate; earlier entries win ties, so list the candidate
+    first). ``weights`` multiplies each hypothesis's score before the
+    vote — a weight < 1 gives that hypothesis a preference margin.
+
+    All hypotheses ride ONE NN sweep: the k transformed copies of the
+    source are concatenated into a [kN] problem against the shared
+    target — the sweep cost is dominated by streaming the target, which
+    is identical for all of them."""
+    k = len(hypotheses)
+    stacked = jnp.concatenate(
+        [apply_transform(t, cloud.xyz) for t in hypotheses], axis=0
+    )
+    valid = jnp.concatenate([cloud.valid] * k, axis=0)
+    d2, _ = _nn_sweep(stacked, valid, tgt.xyz, tgt.valid)
+    n = cloud.capacity
+    scores = jnp.stack(
+        [
+            _capped_sum(d2[i * n:(i + 1) * n], cloud.valid, cap)[0]
+            for i in range(k)
+        ]
+    )
+    if weights is not None:
+        scores = scores * jnp.asarray(weights, scores.dtype)
+    return jnp.stack(hypotheses)[jnp.argmin(scores)]
+
+
 def _guard_transform(candidate_t, fallback_t, cloud: Cloud, tgt: Cloud, cap):
     """Keep ``candidate_t`` only if it scores at least as well as
-    ``fallback_t`` under the capped NN metric (never-worsen gate).
+    ``fallback_t`` under the capped NN metric (never-worsen gate)."""
+    return _guard_best([candidate_t, fallback_t], cloud, tgt, cap)
 
-    Both hypotheses ride ONE NN sweep: the two transformed copies of the
-    source are concatenated into a [2N] problem against the shared
-    target, halving the sweep launches (the sweep cost is dominated by
-    streaming the target, which is identical for both)."""
-    both = jnp.concatenate(
-        [
-            apply_transform(candidate_t, cloud.xyz),
-            apply_transform(fallback_t, cloud.xyz),
-        ],
-        axis=0,
+
+def _rescue_from(
+    cur: Cloud, target: Cloud, n_inl, icp_cfg, cap: float, iters: int,
+    thresh: float,
+):
+    """Gated wide-cap rescue (no reference analog; see PipelineConfig
+    .rescue_inlier_frac). ``cur`` is the source already at the post-fine
+    pose, ``n_inl`` the number of valid source points with a
+    correspondence inside the fine cap at that pose. When the inlier
+    fraction is below ``thresh``, run ``iters`` point-to-point ICP
+    iterations at the wider ``cap`` and re-fine at the original cap.
+    Returns (relative transform, fired bool) — the clean path pays only
+    the branch test (``lax.cond`` skips the rescue sweeps at runtime
+    when the gate doesn't fire).
+
+    Keep criterion: the rescue must not worsen the capped-NN score AND
+    must grow the fine-cap inlier count by >=_RESCUE_KEEP_GAIN. A score
+    test alone cannot tell the two firing causes apart: under partial
+    overlap the capped score is saturation-dominated (genuine escapes
+    only move it ~2x), while on a noisy-but-aligned pair (the gate fires
+    from noise-depressed inlier fractions, not misalignment) the
+    wide-cap solve drifts within the score's noise floor. The inlier
+    count separates them sharply — measured gains are 2-5x for genuine
+    local-optimum escapes vs ~1x for noise firings."""
+    dtype = cur.xyz.dtype
+    nv = jnp.sum(cur.valid.astype(dtype))
+    frac = n_inl.astype(dtype) / jnp.maximum(nv, 1.0)
+    need = frac < thresh
+    eye = jnp.eye(4, dtype=dtype)
+
+    def do(_):
+        wide_cfg = dataclasses.replace(
+            icp_cfg,
+            max_correspondence_distance=cap,
+            max_iterations=iters,
+            transformation_epsilon=1e-12,
+            euclidean_fitness_epsilon=1e-12,
+            compute_fitness=False,
+        )
+        r1 = icp_align(cur, target, wide_cfg)
+        cur2 = apply_transform_cloud(r1.transform, cur)
+        refine_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
+        r2 = icp_align(cur2, target, refine_cfg)
+        cand = r2.transform @ r1.transform
+        # one [2N] sweep scores both hypotheses and counts both inlier
+        # sets (the sweep cost is streaming the shared target)
+        both = jnp.concatenate(
+            [apply_transform(cand, cur.xyz), cur.xyz], axis=0
+        )
+        valid2 = jnp.concatenate([cur.valid, cur.valid], axis=0)
+        d2, _ = _nn_sweep(both, valid2, target.xyz, target.valid)
+        m = cur.capacity
+        s_cand, _ = _capped_sum(d2[:m], cur.valid, cap)
+        s_stay, _ = _capped_sum(d2[m:], cur.valid, cap)
+        fine_cap2 = icp_cfg.max_correspondence_distance ** 2
+        inl = lambda dd: jnp.sum(
+            (cur.valid & jnp.isfinite(dd) & (dd < fine_cap2)).astype(dtype)
+        )
+        n_cand, n_stay = inl(d2[:m]), inl(d2[m:])
+        keep = (s_cand <= s_stay) & (
+            n_cand >= n_stay * _RESCUE_KEEP_GAIN
+        )
+        return jnp.where(keep, cand, eye)
+
+    rel = jax.lax.cond(need, do, lambda _: eye, None)
+    return rel, need
+
+
+def _maybe_rescue(fine, fine_aligned, target, icp_cfg, thresh, cap, iters):
+    """Fold the gated rescue into a (fine result, aligned cloud) pair.
+    No-op when ``thresh == 0``. The returned fine result's transform
+    includes the rescue correction; its fitness/RMSE diagnostics remain
+    those of the pre-rescue pose (recomputing them under the gate would
+    cost every clean pair an extra sweep)."""
+    if thresh <= 0.0:
+        return fine, fine_aligned
+    if icp_cfg.compute_fitness:
+        n_inl = fine.n_correspondences
+    else:
+        n_inl, _ = _inlier_stats(
+            fine_aligned, target, icp_cfg.max_correspondence_distance,
+            icp_cfg.use_pallas,
+        )
+    rel, _ = _rescue_from(
+        fine_aligned, target, n_inl, icp_cfg, cap, iters, thresh
     )
-    both_valid = jnp.concatenate([cloud.valid, cloud.valid], axis=0)
-    d2, _ = _nn_sweep(both, both_valid, tgt.xyz, tgt.valid)
-    n = cloud.capacity
-    s_cand, _ = _capped_sum(d2[:n], cloud.valid, cap)
-    s_fall, _ = _capped_sum(d2[n:], cloud.valid, cap)
-    return jnp.where(s_cand <= s_fall, candidate_t, fallback_t)
+    fine = dataclasses.replace(fine, transform=rel @ fine.transform)
+    return fine, apply_transform_cloud(rel, fine_aligned)
 
 
 def _run_stages(target_full: Cloud, src_t: Cloud, stages):
@@ -704,6 +860,9 @@ def _assemble_global(originals, totals, converged):
         "coarse_guard_cap",
         "refine_margin",
         "warm_start",
+        "rescue_thresh",
+        "rescue_cap",
+        "rescue_iters",
     ),
 )
 def _chain_scan(
@@ -721,6 +880,9 @@ def _chain_scan(
     coarse_guard_cap: float,
     refine_margin: float = 0.75,
     warm_start: bool = False,
+    rescue_thresh: float = 0.0,
+    rescue_cap: float = 0.1,
+    rescue_iters: int = 8,
 ):
     """The whole phase-2 frame chain as ONE compiled program.
 
@@ -774,40 +936,60 @@ def _chain_scan(
     coarse_icp_cfg = dataclasses.replace(icp_cfg, compute_fitness=False)
 
     def body(carry, x):
-        target, moments, target_full, corr = carry
-        edge_i, full_i, guess = x
+        target, moments, target_full, prev_total, c_local = carry
+        edge_i, full_i, guess, rel_g = x
 
         raw_guess = guess
         if warm_start:
-            # seed with the previous pair's correction (PipelineConfig
-            # .coarse_warm_start): consecutive pairs of a smooth
-            # trajectory share their guess error, so Newton/ICP starts
-            # inside its terminal basin
-            guess = corr @ guess
+            # Constant-velocity warm start (PipelineConfig
+            # .coarse_warm_start): predict this pair's absolute transform
+            # as (previous achieved transform) o (this pair's raw guess
+            # INCREMENT) o (carried LOCAL correction). The local
+            # correction c = inv(rel_g) @ inv(T_prev) @ T_cur is the
+            # per-frame motion the guess missed, expressed in the source
+            # frame — under constant motion the prediction is exact.
+            # (The earlier global-frame form ``corr @ guess`` could only
+            # express accumulated-rotation drift: a per-frame LOCAL
+            # translation — the partial-overlap scenario — stayed
+            # uncorrectable at |t| per pair no matter how well the
+            # previous pair ended.)
+            guess = prev_total @ rel_g @ c_local
         if use_ndt:
             grid = ndt_grid_from_moments(moments, origin, ndt_cfg)
             coarse = ndt_align(edge_i, grid, ndt_cfg, guess)
         else:
             coarse = icp_align(edge_i, target, coarse_icp_cfg, guess)
         if coarse_guard_cap > 0.0:
-            # Under warm_start the guard falls back to the RAW guess, not
-            # the warmed one: if the carried correction is bad, both the
-            # candidate (optimized from the warmed guess) and the warmed
-            # guess itself are contaminated — the raw guess is the only
-            # hypothesis independent of the correction, so a poisoned
-            # correction is rejected per-pair instead of compounding.
+            # Hypothesis pool: the coarse result, the (possibly warmed)
+            # guess it started from, and under warm_start additionally
+            # the RAW guess. The warmed guess must stay in the pool —
+            # the coarse stage can diverge FROM a good constant-velocity
+            # prediction into a local optimum that still beats the raw
+            # guess (measured on partial overlap: warmed 2.8 cm off /
+            # score 4.7e-3, NDT result 21 cm off / score 5.1e-3, raw
+            # 24 cm off / score 9.8e-3 — a raw-only fallback keeps the
+            # bad NDT pose). The raw guess stays as the
+            # correction-independent escape hatch: a poisoned carry
+            # loses the score vote per-pair instead of compounding.
+            hyps = [coarse.transform, guess]
+            w = None
+            if warm_start:
+                hyps.append(raw_guess)
+                w = (1.0, _WARM_GUARD_MARGIN, 1.0)
             coarse = dataclasses.replace(
                 coarse,
-                transform=_guard_transform(
-                    coarse.transform,
-                    raw_guess,
-                    edge_i,
-                    target,
-                    coarse_guard_cap,
+                transform=_guard_best(
+                    hyps, edge_i, target, coarse_guard_cap, w
                 ),
             )
         aligned = apply_transform_cloud(coarse.transform, edge_i)
         fine = icp_align(aligned, target, icp_cfg)
+        if rescue_thresh > 0.0:
+            fine_aligned = apply_transform_cloud(fine.transform, aligned)
+            fine, _ = _maybe_rescue(
+                fine, fine_aligned, target, icp_cfg, rescue_thresh,
+                rescue_cap, rescue_iters,
+            )
         t2 = fine.transform @ coarse.transform
 
         if refine:
@@ -839,34 +1021,52 @@ def _chain_scan(
                 gate=conv,
             )
         if warm_start:
-            # correction = achieved coarse transform vs this pair's RAW
-            # guess; composing it onto the next raw guess carries the
-            # trajectory's systematic drift forward (inverting the warmed
-            # guess instead would divide out the previous correction and
-            # never converge to the drift)
-            r = raw_guess[:3, :3]
-            inv_g = (
-                jnp.eye(4, dtype=raw_guess.dtype)
-                .at[:3, :3].set(r.T)
-                .at[:3, 3].set(-r.T @ raw_guess[:3, 3])
-            )
-            # Only a pair whose fine ICP converged may update the carried
-            # correction; a non-converged pair's coarse transform is
-            # untrusted and would otherwise poison every later pair.
-            corr = jnp.where(conv, coarse.transform @ inv_g, corr)
+            # The carried local correction comes from the achieved FULL
+            # pair transform (coarse + fine + rescue + refine) — carrying
+            # only the coarse transform was measured to defeat the rescue
+            # stage: a rescued pair's fix never reached the next pair's
+            # start, which then sat beyond the rescue cap's own basin.
+            # Only a pair whose fine ICP converged may update the local
+            # correction; a non-converged pair's is untrusted (the
+            # guard's raw-guess fallback stays the escape hatch). The
+            # prediction anchor prev_total however updates UNGATED:
+            # ``total`` is the chain's best absolute estimate even for
+            # non-converged pairs (edge-starved scenes converge 0/9 yet
+            # carry accurate totals — gating it froze prev_total at
+            # identity and collapsed every prediction to a single-frame
+            # increment, measured 3 orders of magnitude off on the
+            # low-texture scenario).
+            new_c = _rigid_inverse(rel_g) @ _rigid_inverse(prev_total) @ total
+            c_local = jnp.where(conv, new_c, c_local)
+            prev_total = total
         return (
-            (target, moments, target_full, corr),
+            (target, moments, target_full, prev_total, c_local),
             (coarse, fine, ref, total),
         )
 
+    if warm_start:
+        # per-pair guess increments rel_g[i] = inv(G[i-1]) @ G[i] (G[-1]
+        # = identity): the raw guesses are absolute frame->frame-0
+        # estimates, the warm start needs their per-frame motion
+        inv_prev = jax.vmap(_rigid_inverse)(guesses[:-1])
+        rel_guesses = jnp.concatenate(
+            [
+                guesses[:1],
+                jnp.einsum("nij,njk->nik", inv_prev, guesses[1:]),
+            ],
+            axis=0,
+        )
+    else:
+        rel_guesses = guesses  # unused by the body
     xs = (
         rest(edges_down),
         rest(full_all) if refine else (),  # () scans as an empty pytree
         guesses,
+        rel_guesses,
     )
     eye4 = jnp.eye(4, dtype=guesses.dtype)
-    (target, moments, target_full, _), ys = jax.lax.scan(
-        body, (target, moments, target_full, eye4), xs
+    (target, moments, target_full, _, _), ys = jax.lax.scan(
+        body, (target, moments, target_full, eye4, eye4), xs
     )
     coarse_s, fine_s, ref_s, totals = ys
     return {
@@ -892,6 +1092,9 @@ def _chain_scan(
         "voxel_cap",
         "coarse_guard_cap",
         "warm_start",
+        "rescue_thresh",
+        "rescue_cap",
+        "rescue_iters",
     ),
 )
 def _registration_fused(
@@ -906,6 +1109,9 @@ def _registration_fused(
     voxel_cap: int,
     coarse_guard_cap: float,
     warm_start: bool = False,
+    rescue_thresh: float = 0.0,
+    rescue_cap: float = 0.1,
+    rescue_iters: int = 8,
 ):
     """The ENTIRE registration — phase-1 feature extraction, the phase-2
     frame chain, anchor refinement, and global-cloud assembly — as ONE
@@ -938,6 +1144,9 @@ def _registration_fused(
         coarse_guard_cap,
         r.accept_margin,
         warm_start,
+        rescue_thresh,
+        rescue_cap,
+        rescue_iters,
     )
     totals = out["totals"]
     accepted = ()
@@ -1070,6 +1279,9 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             cfg.voxel.max_points,
             cfg.coarse_guard_cap,
             cfg.coarse_warm_start,
+            cfg.rescue_inlier_frac,
+            cfg.rescue_cap,
+            cfg.rescue_iterations,
         )
         # Per-frame diagnostics (results / refine_results / _full_down)
         # materialize LAZILY on first attribute access: slicing the
@@ -1262,6 +1474,9 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             cfg.coarse_guard_cap,
             cfg.refine.accept_margin,
             cfg.coarse_warm_start,
+            cfg.rescue_inlier_frac,
+            cfg.rescue_cap,
+            cfg.rescue_iterations,
         )
 
         pick = lambda t, i: jax.tree.map(lambda x: x[i], t)
@@ -1342,35 +1557,36 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         self.results = []
         self.refine_results = []
         totals = []
-        corr = jnp.eye(4, dtype=jnp.float32)
+        eye4 = jnp.eye(4, dtype=jnp.float32)
+        prev_total, c_local = eye4, eye4
         for idx in range(1, n):
             raw_guess = guess = guesses[idx - 1]
             if cfg.coarse_warm_start:
-                guess = corr @ guess  # see _chain_scan warm-start note
+                # constant-velocity warm start — see _chain_scan body
+                rel_g = (
+                    guesses[0]
+                    if idx == 1
+                    else _rigid_inverse(guesses[idx - 2]) @ guesses[idx - 1]
+                )
+                guess = prev_total @ rel_g @ c_local
             fb = raw_guess if cfg.coarse_warm_start else None
+            rescue_kw = dict(
+                rescue_thresh=cfg.rescue_inlier_frac,
+                rescue_cap=cfg.rescue_cap,
+                rescue_iters=cfg.rescue_iterations,
+            )
             if self.use_ndt_coarse:
                 coarse, fine, fine_aligned = _ndt_pair_step(
                     target, edges[idx], guess, cfg.ndt, cfg.icp,
                     cfg.voxel.leaf_size, voxel_cap, cfg.coarse_guard_cap,
-                    guard_fallback=fb,
+                    guard_fallback=fb, **rescue_kw,
                 )
             else:
                 coarse, fine, fine_aligned = _icp_pair_step(
                     target, edges[idx], guess, cfg.icp,
                     cfg.voxel.leaf_size, voxel_cap, cfg.coarse_guard_cap,
-                    guard_fallback=fb,
+                    guard_fallback=fb, **rescue_kw,
                 )
-            if cfg.coarse_warm_start and bool(fine.converged):
-                # only converged pairs may update the carried correction
-                # (see _chain_scan) — a bad pair would otherwise poison
-                # every later pair with no path back to the raw guess
-                r3 = raw_guess[:3, :3]
-                inv_g = (
-                    jnp.eye(4, dtype=raw_guess.dtype)
-                    .at[:3, :3].set(r3.T)
-                    .at[:3, 3].set(-r3.T @ raw_guess[:3, 3])
-                )
-                corr = coarse.transform @ inv_g
             self.results.append((coarse, fine))
             total = fine.transform @ coarse.transform
             if refine_on:
@@ -1383,6 +1599,15 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                     accepted, ref.transform, jnp.eye(4, dtype=total.dtype)
                 )
                 fine_aligned = apply_transform_cloud(delta, fine_aligned)
+            if cfg.coarse_warm_start:
+                # local correction gated on convergence, prediction
+                # anchor ungated (see _chain_scan)
+                if bool(fine.converged):
+                    c_local = (
+                        _rigid_inverse(rel_g) @ _rigid_inverse(prev_total)
+                        @ total
+                    )
+                prev_total = total
             totals.append(total)
             if bool(fine.converged):
                 transformed = apply_transform_cloud(total, originals[idx])

@@ -1,0 +1,155 @@
+"""Gated wide-cap rescue stage (PipelineConfig.rescue_inlier_frac).
+
+The failure mode it targets (measured on the partial-overlap robustness
+scenario): the coarse stage lands in a local optimum several cm off, the
+1 cm fine-ICP cap cannot recover (inlier fraction collapses to
+0.09-0.29), and the pose is simply kept. The rescue detects the inlier
+collapse and re-solves at a 10 cm cap. No reference analog — the
+reference keeps coarse-stage local optima unconditionally
+(src/ndt_edge_based_registration.hpp:101-111 merges any converged
+fine result).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rspc_tpu.cloud import Cloud
+from rspc_tpu.config import ICPConfig
+from rspc_tpu.registration.schemes import _icp_pair_step
+
+
+def corner_cloud(spacing=0.005, extent=0.5, seed=0):
+    """Three orthogonal 1 cm-grid planes meeting at a corner — constrains
+    all six pose DoF for point-to-point ICP."""
+    ax = np.arange(0.0, extent, spacing, dtype=np.float32)
+    u, v = np.meshgrid(ax, ax, indexing="ij")
+    u, v = u.ravel(), v.ravel()
+    zeros = np.zeros_like(u)
+    pts = np.concatenate(
+        [
+            np.stack([u, v, zeros], -1),
+            np.stack([u, zeros, v], -1),
+            np.stack([zeros, u, v], -1),
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    pts = pts + rng.normal(0.0, 2e-4, pts.shape).astype(np.float32)
+    rgb = np.full_like(pts, 0.5)
+    valid = np.ones(len(pts), bool)
+    return Cloud(jnp.asarray(pts), jnp.asarray(rgb), jnp.asarray(valid))
+
+
+def shifted(cloud, offset):
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = offset
+    xyz = cloud.xyz @ jnp.asarray(t[:3, :3].T) + jnp.asarray(t[:3, 3])
+    return Cloud(xyz, cloud.rgb, cloud.valid), t
+
+
+CFG = ICPConfig(target_chunk=2048)
+LEAF = 0.01
+CAP = 16384
+
+
+def run_pair(src, tgt, thresh):
+    coarse, fine, _ = _icp_pair_step(
+        tgt, src, jnp.eye(4), CFG, LEAF, CAP,
+        rescue_thresh=thresh, rescue_cap=0.1, rescue_iters=8,
+    )
+    return np.asarray(fine.transform @ coarse.transform)
+
+
+class TestRescue:
+    def test_recovers_offset_outside_fine_cap(self):
+        """A 5 cm offset is outside the 1 cm fine cap: without rescue the
+        pose stays several cm off; the rescue recovers it to < 5 mm."""
+        tgt = corner_cloud()
+        src, t_gt = shifted(corner_cloud(seed=1), (0.04, 0.02, 0.03))
+        # ground truth maps src back onto tgt: inverse translation
+        want = np.linalg.inv(t_gt)
+
+        t_off = run_pair(src, tgt, 0.0)
+        t_on = run_pair(src, tgt, 0.55)
+        err_off = np.abs(t_off - want).max()
+        err_on = np.abs(t_on - want).max()
+        assert err_off > 0.02, err_off   # stuck without rescue
+        # recovered (the residual few mm comes from the PCL-parity fine
+        # stage stopping after one iteration — transEps=1 semantics)
+        assert err_on < 0.008, err_on
+        assert err_on <= err_off         # never-worsen
+
+    def test_gate_does_not_fire_when_aligned(self):
+        """A 2 mm offset is inside the fine basin: the inlier fraction
+        stays high, the gate must not fire, and the result must be
+        IDENTICAL to the rescue-off path (the cond's clean branch)."""
+        tgt = corner_cloud()
+        src, _ = shifted(corner_cloud(seed=1), (0.002, 0.0, 0.001))
+        t_off = run_pair(src, tgt, 0.0)
+        t_on = run_pair(src, tgt, 0.55)
+        np.testing.assert_array_equal(t_on, t_off)
+
+    def test_guard_rejects_harmful_rescue(self):
+        """With an unmatched source (target far away), the rescue may
+        fire but the never-worsen guard must keep the pose from drifting
+        further than the capped-NN score allows."""
+        tgt = corner_cloud()
+        src, t_gt = shifted(corner_cloud(seed=1), (0.5, 0.5, 0.5))
+        want = np.linalg.inv(t_gt)
+        t_on = run_pair(src, tgt, 0.99)
+        t_off = run_pair(src, tgt, 0.0)
+        # guard metric: the rescued pose's capped NN score never exceeds
+        # the un-rescued one (here we just require it did not blow up
+        # the transform; both stay near identity as nothing matches)
+        assert np.abs(t_on).max() < 2.0
+        assert np.abs(t_off).max() < 2.0
+
+    def test_compute_fitness_off_path(self):
+        """With fitness off the gate derives the inlier count from its
+        own sweep — same recovery as the fitness-on path."""
+        cfg = dataclasses.replace(CFG, compute_fitness=False)
+        tgt = corner_cloud()
+        src, t_gt = shifted(corner_cloud(seed=1), (0.04, 0.02, 0.03))
+        want = np.linalg.inv(t_gt)
+        coarse, fine, _ = _icp_pair_step(
+            tgt, src, jnp.eye(4), cfg, LEAF, CAP,
+            rescue_thresh=0.55, rescue_cap=0.1, rescue_iters=8,
+        )
+        t_on = np.asarray(fine.transform @ coarse.transform)
+        assert np.abs(t_on - want).max() < 0.008
+
+
+@pytest.mark.parametrize("use_scan", [True, False])
+def test_chain_rescue_scan_loop_agree(use_scan):
+    """The fused-scan and Python-loop chains expose the same rescue
+    behavior: a mid-sequence frame displaced outside the fine cap is
+    recovered in both paths."""
+    from rspc_tpu.capture.synthetic import SyntheticSequence
+    from rspc_tpu.ops.deproject import Intrinsics
+    from rspc_tpu.presets import north_star_config
+    from rspc_tpu.registration.schemes import ICPEdgeBasedRegistration
+
+    yaw = -0.05
+    seq = SyntheticSequence(
+        n_frames=3, yaw_step=yaw, intr=Intrinsics.simple(160, 120),
+        translation_step=(0.05, 0.0, 0.03),
+    )
+    clouds = seq.clouds()
+    cfg = dataclasses.replace(
+        north_star_config(),
+        rescue_inlier_frac=0.55,
+        use_scan=use_scan,
+        refine=dataclasses.replace(
+            north_star_config().refine, enabled=False, anchor_to_first=False
+        ),
+    )
+    s = ICPEdgeBasedRegistration(rads=yaw, config=cfg)
+    s.registration(clouds)
+    t = np.asarray(s.total_transforms)
+    gts = [np.asarray(seq.gt_transform(i)) for i in range(1, 3)]
+    # the yaw-only static guess ignores the 6 cm/frame translation; the
+    # rescue must pull every pair inside ~1 cm of ground truth
+    for i in range(2):
+        assert np.abs(t[i] - gts[i]).max() < 0.012, (use_scan, i)
