@@ -194,6 +194,14 @@ class RefineConfig:
     # rotate away from frame 0 (a local-map SLAM step, scan-fused);
     # costs ~n sequential refine solves instead of one batched one.
     anchor_mode: str = "first"
+    # Per-frame source-point budget for the batched "first" anchor's
+    # iteration sweeps (0 = all points). The anchor is NN-throughput
+    # bound (each iteration flattens [B, N] sources into one sweep
+    # against frame 0); a strided subsample cuts that proportionally,
+    # and a 10k-point point-to-plane fit loses almost nothing at 4096
+    # points. The acceptance gate's before/after stats use the SAME
+    # subsample, so its relative thresholds are unaffected.
+    anchor_max_points: int = 0
     # Anchor stage schedule: starts are already chain-initialized (a few
     # mm off), so no wide/loose stage — with partial overlap a wide
     # correspondence cap matches across the non-overlap boundary and

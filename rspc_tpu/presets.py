@@ -67,6 +67,9 @@ def north_star_config() -> PipelineConfig:
             # per pair inside the scan); annealed wide->tight caps
             # converge in 3+3 iterations from chain-initialized starts
             chain=False, anchor_to_first=True,
+            # the anchor is NN-sweep-bound; 4096 of 10240 points decide
+            # and fit the same poses (bench err unchanged, ~25 ms saved)
+            anchor_max_points=4096,
             anchor_stages=(
                 ICPConfig(
                     max_iterations=3,

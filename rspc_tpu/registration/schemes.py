@@ -204,7 +204,10 @@ def _icp_pair_step(
             w = (1.0, _WARM_GUARD_MARGIN, 1.0)
         coarse = dataclasses.replace(
             coarse,
-            transform=_guard_best(hyps, src_down, target, guard_cap, w),
+            transform=_guard_best(
+                hyps, _stride_cloud(src_down, _GUARD_MAX_POINTS),
+                target, guard_cap, w,
+            ),
         )
     aligned = apply_transform_cloud(coarse.transform, src_down)
     fine = icp_align(aligned, target, icp_cfg)
@@ -245,7 +248,10 @@ def _ndt_pair_step(
             w = (1.0, _WARM_GUARD_MARGIN, 1.0)
         coarse = dataclasses.replace(
             coarse,
-            transform=_guard_best(hyps, src_down, target, guard_cap, w),
+            transform=_guard_best(
+                hyps, _stride_cloud(src_down, _GUARD_MAX_POINTS),
+                target, guard_cap, w,
+            ),
         )
     aligned = apply_transform_cloud(coarse.transform, src_down)
     fine = icp_align(aligned, target, icp_cfg)
@@ -319,6 +325,30 @@ _WARM_GUARD_MARGIN = 0.85
 # escapes on noisy partial-overlap scenes while still rejecting pure
 # noise drifts.
 _RESCUE_KEEP_GAIN = 1.15
+
+# Source-point budget for the coarse guard's hypothesis sweep. The guard
+# compares capped-NN MEANS of the same source under k transforms — a
+# paired comparison whose decision noise shrinks the score gap far less
+# than 1/sqrt(n) suggests — so a strided 4096-point subsample decides
+# identically while cutting the [kN x target] sweep ~2.5x (measured
+# ~36 ms of the north-star wall was guard sweeps).
+_GUARD_MAX_POINTS = 4096
+
+
+def _stride_cloud(cloud: Cloud, max_points: int) -> Cloud:
+    """Deterministic every-k-th-row subsample for score sweeps. The
+    voxel-downsample emits clouds compacted by sorted voxel key, so a
+    stride picks a spatially spread subset, not a corner."""
+    cap = cloud.capacity
+    if max_points <= 0 or cap <= max_points:
+        return cloud
+    step = -(-cap // max_points)
+    return Cloud(
+        xyz=cloud.xyz[::step],
+        rgb=cloud.rgb[::step],
+        valid=cloud.valid[::step],
+        normal=None if cloud.normal is None else cloud.normal[::step],
+    )
 
 
 def _guard_best(hypotheses, cloud: Cloud, tgt: Cloud, cap, weights=None):
@@ -495,7 +525,10 @@ def _refine_pair_step(
     return _refine_step(target_full, src_full, base_t, stages, margin)
 
 
-@partial(jax.jit, static_argnames=("stages", "margin", "gate_radius"))
+@partial(
+    jax.jit,
+    static_argnames=("stages", "margin", "gate_radius", "max_points"),
+)
 def _anchor_refine(
     anchor: Cloud,
     fulls,
@@ -505,6 +538,7 @@ def _anchor_refine(
     gate_radius=0.03,
     gate_inlier_keep=0.95,
     gate_rmse_blowup=1.5,
+    max_points: int = 0,
 ):
     """Batched anchor refinement (RefineConfig.anchor_to_first): re-align
     every frame's full cloud directly against FRAME 0's full cloud from
@@ -521,6 +555,13 @@ def _anchor_refine(
     """
     from rspc_tpu.ops.umeyama import plane_fit
     from rspc_tpu.registration.icp import _scale_increment
+
+    if max_points and fulls.valid.shape[1] > max_points:
+        # RefineConfig.anchor_max_points: every iteration (and the gate's
+        # before/after stats) runs on the same strided subsample — the
+        # sweeps are the anchor's dominant cost and shrink linearly.
+        step = -(-fulls.valid.shape[1] // max_points)
+        fulls = jax.tree.map(lambda x: x[:, ::step], fulls)
 
     b, n_pts = fulls.valid.shape
     dtype = fulls.xyz.dtype
@@ -979,7 +1020,8 @@ def _chain_scan(
             coarse = dataclasses.replace(
                 coarse,
                 transform=_guard_best(
-                    hyps, edge_i, target, coarse_guard_cap, w
+                    hyps, _stride_cloud(edge_i, _GUARD_MAX_POINTS),
+                    target, coarse_guard_cap, w,
                 ),
             )
         aligned = apply_transform_cloud(coarse.transform, edge_i)
@@ -1163,6 +1205,7 @@ def _registration_fused(
             totals, accepted = _anchor_refine(
                 first, restf, totals, r.anchor_stages, 1.0,
                 r.gate_radius, r.gate_inlier_keep, r.gate_rmse_blowup,
+                max_points=r.anchor_max_points,
             )
     out["totals"] = totals
     out["anchor_accepted"] = accepted
@@ -1511,6 +1554,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                     cfg.refine.gate_radius,
                     cfg.refine.gate_inlier_keep,
                     cfg.refine.gate_rmse_blowup,
+                    max_points=cfg.refine.anchor_max_points,
                 )
         self.total_transforms = totals
         self._dump_edges(
@@ -1649,6 +1693,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                     cfg.refine.gate_radius,
                     cfg.refine.gate_inlier_keep,
                     cfg.refine.gate_rmse_blowup,
+                    max_points=cfg.refine.anchor_max_points,
                 )
         self.total_transforms = totals_arr
 
