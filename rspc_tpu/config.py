@@ -55,6 +55,15 @@ class ICPConfig:
     target_chunk: int = 2048   # target tile size for the XLA NN sweep
     use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back
                                # to the XLA sweep on other backends)
+    # Cell-bucketed capped NN (ops/nn_bucket.py) for the ITERATION
+    # sweeps: O(N * 27 * budget) instead of O(N * M) — the win for
+    # multi-million-point accumulated targets (incremental chain). Exact
+    # within the correspondence cap as long as no cell holds more than
+    # bucket_budget points (guaranteed-ish for voxel-downsampled targets
+    # at leaf >= cap; check ops/nn_bucket.bucket_stats otherwise).
+    # getFitnessScore still runs the full uncapped sweep.
+    use_bucket_nn: bool = False
+    bucket_budget: int = 32
     compute_fitness: bool = True  # getFitnessScore() pass after aligning;
                                   # costs one extra NN sweep — pipeline
                                   # stages whose fitness is never read

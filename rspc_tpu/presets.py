@@ -34,7 +34,11 @@ def north_star_config() -> PipelineConfig:
         # few Newton+line-search passes per pair are pure overhead there.
         ndt=NDTConfig(
             neighborhood=7,
-            max_source_points=4096,
+            # 2048-point uniform subsample: Newton cost is linear in the
+            # source count and the coarse stage only has to land inside
+            # the fine/anchor basin — bench err identical to 4096 (and
+            # even 1024), ~9 ms saved
+            max_source_points=2048,
             transformation_epsilon=0.025,
         ),
         # coarse_warm_start is left OFF: measured no wall-time gain here

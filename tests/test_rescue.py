@@ -121,6 +121,56 @@ class TestRescue:
         assert np.abs(t_on - want).max() < 0.008
 
 
+class TestGuardVote:
+    def test_margin_prefers_prediction_within_band(self):
+        """With the _WARM_GUARD_MARGIN weight, a prediction whose capped
+        score is within the margin band of the candidate's wins the
+        vote; without weights the raw best-score hypothesis wins."""
+        from rspc_tpu.registration.schemes import _guard_best
+
+        tgt = corner_cloud()
+        src = corner_cloud(seed=1)
+
+        def t_of(dx):
+            t = np.eye(4, dtype=np.float32)
+            t[0, 3] = dx
+            return jnp.asarray(t)
+
+        cand, pred = t_of(0.005), t_of(0.0052)
+        # unweighted: candidate's (slightly) better score wins
+        best = np.asarray(_guard_best([cand, pred], src, tgt, 0.1))
+        np.testing.assert_array_equal(best, np.asarray(cand))
+        # margin-weighted: the prediction's 15% preference flips it
+        best_w = np.asarray(
+            _guard_best([cand, pred], src, tgt, 0.1, weights=(1.0, 0.85))
+        )
+        np.testing.assert_array_equal(best_w, np.asarray(pred))
+        # a CLEAR candidate improvement still beats the margin
+        best_c = np.asarray(
+            _guard_best(
+                [t_of(0.001), pred], src, tgt, 0.1, weights=(1.0, 0.85)
+            )
+        )
+        np.testing.assert_array_equal(best_c, np.asarray(t_of(0.001)))
+
+    def test_stride_cloud(self):
+        from rspc_tpu.registration.schemes import _stride_cloud
+
+        c = corner_cloud()
+        s = _stride_cloud(c, 4096)
+        step = -(-c.capacity // 4096)
+        assert s.capacity == c.xyz[::step].shape[0]
+        np.testing.assert_array_equal(
+            np.asarray(s.xyz), np.asarray(c.xyz)[::step]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s.valid), np.asarray(c.valid)[::step]
+        )
+        # no-op cases return the cloud unchanged
+        assert _stride_cloud(c, 0) is c
+        assert _stride_cloud(c, c.capacity) is c
+
+
 @pytest.mark.parametrize("use_scan", [True, False])
 def test_chain_rescue_scan_loop_agree(use_scan):
     """The fused-scan and Python-loop chains expose the same rescue
