@@ -117,6 +117,7 @@ def main():
             "ndt_edge_warm",
             "ndt_edge_rescue",
             "ndt_edge_map",
+            "ndt_edge_graph",
             "icp_edge",
             "incremental",
         )
@@ -159,6 +160,24 @@ def main():
                         rescue_inlier_frac=0.55,
                     )
                     s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_r)
+                    r = s.registration(clouds)
+                elif scheme_name == "ndt_edge_graph":
+                    # the full stack + pose-graph relaxation: redundant
+                    # skip-pair constraints average per-pair noise
+                    # instead of integrating it (the measured 'combined'
+                    # failure shape)
+                    import dataclasses
+
+                    cfg_g = dataclasses.replace(
+                        config,
+                        coarse_warm_start=True,
+                        rescue_inlier_frac=0.55,
+                        refine=dataclasses.replace(
+                            config.refine, anchor_mode="map",
+                            pose_graph=True,
+                        ),
+                    )
+                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_g)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_warm":
                     # coarse_warm_start carries the previous pair's

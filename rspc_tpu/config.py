@@ -211,6 +211,19 @@ class RefineConfig:
     # points. The acceptance gate's before/after stats use the SAME
     # subsample, so its relative thresholds are unaffected.
     anchor_max_points: int = 0
+    # EXPERIMENTAL: pose-graph relaxation (registration/posegraph.py).
+    # After the anchor stage, align every (i, i+off) frame pair for off
+    # in pose_graph_skips, weight each relative measurement by its
+    # inlier count (dropping non-overlapping pairs), add anchor-prior
+    # constraints, and solve the robust SE(3) graph. Redundant
+    # constraints AVERAGE per-pair noise instead of integrating it —
+    # built for noisy partial-overlap trajectories where no anchor
+    # target stays visible. Status: solver + integration are tested;
+    # on low-resolution noisy scenes the pairwise measurements are weak
+    # enough that the result is ~neutral vs anchoring alone — expect
+    # gains only where redundant constraints are well-conditioned.
+    pose_graph: bool = False
+    pose_graph_skips: tuple = (1, 2, 3)
     # Anchor stage schedule: starts are already chain-initialized (a few
     # mm off), so no wide/loose stage — with partial overlap a wide
     # correspondence cap matches across the non-overlap boundary and

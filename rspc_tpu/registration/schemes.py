@@ -687,6 +687,91 @@ def _anchor_refine(
     return total, accepted
 
 
+def _pose_graph_refine(
+    fulls,            # Cloud, stacked [n, cap, ...] per-frame full_down clouds
+    totals,           # f32[n-1, 4, 4] absolute poses (frame i+1 -> frame 0)
+    stages,           # p2l stage schedule (use_pallas=False — runs under vmap)
+    skips,            # tuple of frame offsets, e.g. (1, 2, 3)
+    gate_radius: float,
+    min_overlap: float = 0.25,
+    max_points: int = 0,
+):
+    """Pose-graph relaxation over redundant pairwise constraints
+    (RefineConfig.pose_graph; registration/posegraph.py has the solver
+    rationale). For every frame pair (i, i+off), off in ``skips``, a
+    batched point-to-plane alignment of frame j's full cloud onto frame
+    i's — initialized from the current absolute poses — yields a
+    relative measurement; constraints are weighted by their inlier
+    count and dropped below ``min_overlap`` inlier fraction (pairs that
+    no longer see each other contribute nothing). The SE(3) graph solve
+    then redistributes per-pair noise across the whole trajectory
+    instead of letting the chain integrate it."""
+    from rspc_tpu.registration.posegraph import optimize_pose_graph
+
+    n = fulls.valid.shape[0]
+    dtype = totals.dtype
+    ei_l, ej_l = [], []
+    for off in skips:
+        for i in range(n - off):
+            ei_l.append(i)
+            ej_l.append(i + off)
+    ei = jnp.asarray(ei_l, jnp.int32)
+    ej = jnp.asarray(ej_l, jnp.int32)
+
+    if max_points and fulls.valid.shape[1] > max_points:
+        step = -(-fulls.valid.shape[1] // max_points)
+        fulls_src = jax.tree.map(lambda x: x[:, ::step], fulls)
+    else:
+        fulls_src = fulls
+
+    eye = jnp.eye(4, dtype=dtype)
+    abs_poses = jnp.concatenate([eye[None], totals], axis=0)  # [n, 4, 4]
+    tgt_b = jax.tree.map(lambda x: x[ei], fulls)
+    src_b = jax.tree.map(lambda x: x[ej], fulls_src)
+    init_b = jax.vmap(
+        lambda i, j: _rigid_inverse(abs_poses[i]) @ abs_poses[j]
+    )(ei, ej)
+
+    rel = init_b
+    cur = jax.vmap(apply_transform_cloud)(init_b, src_b)
+    for stage_cfg in stages:
+        res = jax.vmap(lambda s, t: icp_align(s, t, stage_cfg))(cur, tgt_b)
+        rel = jnp.einsum("bij,bjk->bik", res.transform, rel)
+        cur = jax.vmap(apply_transform_cloud)(res.transform, cur)
+
+    n_inl, _ = jax.vmap(
+        lambda s, t: _inlier_stats(s, t, gate_radius, False)
+    )(cur, tgt_b)
+    nv = jax.vmap(lambda s: jnp.sum(s.valid.astype(dtype)))(src_b)
+    frac = n_inl / jnp.maximum(nv, 1.0)
+    w = jnp.where(frac >= min_overlap, n_inl, 0.0)
+
+    # Anchor priors: one (0, j) constraint per frame whose measurement
+    # is the frame's CURRENT (anchor-refined) absolute pose, at a
+    # typical measured weight. The graph then FUSES the anchor solution
+    # with the pairwise evidence instead of replacing it — without
+    # priors, frames whose anchor estimate was already excellent drift
+    # toward the (noisier) pairwise consensus; with them, only frames
+    # whose prior CONFLICTS with the redundant pairwise majority move
+    # (the solver's Huber block weights arbitrate).
+    n_frames = n
+    prior_j = jnp.arange(1, n_frames, dtype=jnp.int32)
+    prior_i = jnp.zeros((n_frames - 1,), jnp.int32)
+    prior_w = jnp.full(
+        (n_frames - 1,),
+        4.0 * jnp.nanmedian(jnp.where(w > 0, w, jnp.nan)),
+        dtype,
+    )
+    prior_w = jnp.where(jnp.isfinite(prior_w), prior_w, 1.0)
+    ei = jnp.concatenate([ei, prior_i])
+    ej = jnp.concatenate([ej, prior_j])
+    rel = jnp.concatenate([rel, totals], axis=0)
+    w = jnp.concatenate([w, prior_w])
+
+    refined, _ = optimize_pose_graph(totals, ei, ej, rel, w)
+    return refined
+
+
 def _map_anchor_stages(stages):
     """anchor_stages are tuned use_pallas=False for the batched/vmapped
     frame-0 anchor; the map anchor's sweeps are single flat [m x cap]
@@ -1207,6 +1292,11 @@ def _registration_fused(
                 r.gate_radius, r.gate_inlier_keep, r.gate_rmse_blowup,
                 max_points=r.anchor_max_points,
             )
+    if r.enabled and r.pose_graph and n >= 3:
+        totals = _pose_graph_refine(
+            full, totals, r.anchor_stages, r.pose_graph_skips,
+            r.gate_radius, max_points=r.anchor_max_points,
+        )
     out["totals"] = totals
     out["anchor_accepted"] = accepted
     out["features"] = feats
@@ -1556,6 +1646,12 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                     cfg.refine.gate_rmse_blowup,
                     max_points=cfg.refine.anchor_max_points,
                 )
+        if refine_on and cfg.refine.pose_graph and n >= 3:
+            totals = _pose_graph_refine(
+                stack(self._full_down), totals, cfg.refine.anchor_stages,
+                cfg.refine.pose_graph_skips, cfg.refine.gate_radius,
+                max_points=cfg.refine.anchor_max_points,
+            )
         self.total_transforms = totals
         self._dump_edges(
             [out["edges_down0"]] + list(edges[1:]), out["target"]
@@ -1695,6 +1791,20 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
                     cfg.refine.gate_rmse_blowup,
                     max_points=cfg.refine.anchor_max_points,
                 )
+        if (
+            refine_on
+            and cfg.refine.pose_graph
+            and totals_arr is not None
+            and n >= 3
+        ):
+            totals_arr = _pose_graph_refine(
+                jax.tree.map(lambda *x: jnp.stack(x), *self._full_down),
+                totals_arr,
+                cfg.refine.anchor_stages,
+                cfg.refine.pose_graph_skips,
+                cfg.refine.gate_radius,
+                max_points=cfg.refine.anchor_max_points,
+            )
         self.total_transforms = totals_arr
 
         if self.saves_edge_pcds and self.dataset_dir is not None:
