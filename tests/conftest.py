@@ -11,6 +11,61 @@ init, so setting it here is still in time.
 """
 
 import os
+import sys
+
+# XLA:CPU's native compile + executable-serialization passes recurse
+# deeply on the fused whole-pipeline programs and overflow the default
+# 8 MB main-thread stack (observed as SIGSEGV inside
+# backend_compile_and_load and compilation_cache.put_executable_and_time
+# on the 2026-08-18 build host; identical programs pass under
+# `ulimit -s unlimited`). Raising RLIMIT_STACK at runtime is NOT enough:
+# the kernel fixed the stack->mmap gap at exec time using the old limit.
+# So raise the limit and RE-EXEC the interpreter once — the fresh
+# process lays out its address space under the new limit.
+def _is_standalone_pytest() -> bool:
+    # Only re-exec when this process IS a pytest run we can faithfully
+    # reconstruct as `python -m pytest <args>`: the console script
+    # (argv[0] = .../bin/pytest) or `python -m pytest` (argv[0] =
+    # .../pytest/__main__.py). Embedded pytest.main() callers must NOT be
+    # re-exec'd — `[sys.executable] + sys.argv` would silently become a
+    # different program (observed: `python - <<EOF` re-exec'd to a bare
+    # `python -` that read empty stdin and exited 0 with no output).
+    a0 = os.path.basename(sys.argv[0] or "")
+    return a0 in ("pytest", "py.test") or sys.argv[0].endswith(
+        os.path.join("pytest", "__main__.py")
+    )
+
+
+if os.environ.get("RSPC_STACK_REEXEC") != "1":
+    try:
+        import resource
+
+        _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+        if _soft != resource.RLIM_INFINITY and _is_standalone_pytest():
+            resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+            os.environ["RSPC_STACK_REEXEC"] = "1"
+            # pytest's global capture has already dup2'd temp files onto
+            # fds 1/2 by the time initial conftests import (capture.py's
+            # pytest_load_initial_conftests wrapper) — execv'ing now would
+            # hand the new process the capture fds and its entire output
+            # would vanish into a deleted temp file. Restore the real
+            # stdout/stderr first via the CaptureManager's saved fds.
+            import gc
+
+            from _pytest.capture import CaptureManager
+
+            for _obj in gc.get_objects():
+                if isinstance(_obj, CaptureManager):
+                    try:
+                        _obj.stop_global_capturing()
+                    except Exception:
+                        pass
+            os.execv(
+                sys.executable,
+                [sys.executable, "-m", "pytest"] + sys.argv[1:],
+            )
+    except Exception:
+        pass
 
 # Explicit on-chip run (RSPC_ONCHIP_TESTS=1 pytest ...) keeps the real
 # backend so the compiled-lowering tests (tests/test_nn_onchip.py) can
