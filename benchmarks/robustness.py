@@ -74,7 +74,7 @@ def main():
     from rspc_tpu.capture.synthetic import SyntheticSequence
     from rspc_tpu.cloud import Cloud
     from rspc_tpu.ops.deproject import Intrinsics
-    from rspc_tpu.presets import north_star_config
+    from rspc_tpu.presets import north_star_config, robust_config
     from rspc_tpu.registration.schemes import (
         ICPEdgeBasedRegistration,
         IncrementalICP,
@@ -134,16 +134,7 @@ def main():
                     # sequential local-map refinement with correction
                     # carry-over — the structural fix for trajectories
                     # that rotate away from frame 0
-                    import dataclasses
-
-                    cfg_m = dataclasses.replace(
-                        config,
-                        coarse_warm_start=True,
-                        rescue_inlier_frac=0.55,
-                        refine=dataclasses.replace(
-                            config.refine, anchor_mode="map"
-                        ),
-                    )
+                    cfg_m = robust_config(anchor_mode="map")
                     s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_m)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_rescue":
@@ -152,13 +143,7 @@ def main():
                     # pairs out of coarse-stage local optima (inlier
                     # fraction collapse at the fine cap fires a 10 cm
                     # p2p re-solve, never-worsen guarded)
-                    import dataclasses
-
-                    cfg_r = dataclasses.replace(
-                        config,
-                        coarse_warm_start=True,
-                        rescue_inlier_frac=0.55,
-                    )
+                    cfg_r = robust_config()
                     s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_r)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_graph":
@@ -166,28 +151,20 @@ def main():
                     # skip-pair constraints average per-pair noise
                     # instead of integrating it (the measured 'combined'
                     # failure shape)
-                    import dataclasses
-
-                    cfg_g = dataclasses.replace(
-                        config,
-                        coarse_warm_start=True,
-                        rescue_inlier_frac=0.55,
-                        refine=dataclasses.replace(
-                            config.refine, anchor_mode="map",
-                            pose_graph=True,
-                        ),
-                    )
+                    cfg_g = robust_config(anchor_mode="map", pose_graph=True)
                     s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_g)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_warm":
                     # coarse_warm_start carries the previous pair's
                     # correction onto the next static guess — built for
                     # exactly the partial-overlap failure mode (the
-                    # turntable guess ignores accumulated translation)
+                    # turntable guess ignores accumulated translation);
+                    # warm-only keeps the dense NDT source too so the
+                    # column isolates the rescue/map deltas
                     import dataclasses
 
                     cfg_w = dataclasses.replace(
-                        config, coarse_warm_start=True
+                        robust_config(), rescue_inlier_frac=0.0
                     )
                     s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_w)
                     r = s.registration(clouds)

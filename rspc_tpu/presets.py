@@ -5,9 +5,20 @@
 ``benchmarks/workloads.py`` — one definition so the RESULTS.md table and
 the bench can never drift apart. Rationale for each knob lives in the
 inline comments.
+
+``robust_config()`` layers the opt-in robustness mechanisms (constant-
+velocity warm start, gated wide-cap rescue, optionally progressive map
+anchoring / pose-graph relaxation) on top, WITH the denser 4096-point
+NDT coarse stage they need: the north-star preset's 2048-point subsample
+is measured identical on the clean scene but on hard trajectories
+(partial overlap: 14 deg + 14 cm per frame) it starves the coarse
+basin — rescue/map regressed 1.2e-2/3.7e-3 -> ~4.8e-1 at 2048 and
+recovered exactly at 4096 (RESULTS.md robustness matrix, r2).
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 from rspc_tpu.config import (
     EdgeConfig,
@@ -103,4 +114,40 @@ def north_star_config() -> PipelineConfig:
         ),
         # Never let the 1 m-resolution NDT stage worsen a good guess.
         coarse_guard_cap=0.1,
+    )
+
+
+def robust_config(
+    anchor_mode: str | None = None,
+    pose_graph: bool = False,
+) -> PipelineConfig:
+    """North-star preset + the robustness stack (all opt-in mechanisms
+    measured in the RESULTS.md adversarial matrix).
+
+    * ``coarse_warm_start``: constant-velocity prediction of each pair's
+      motion — fixes the systematic drift of static/IMU guesses under
+      per-frame translation.
+    * ``rescue_inlier_frac``: fine-cap inlier-collapse detector firing a
+      gated 10 cm wide-cap re-solve (never-worsen guarded).
+    * ``ndt.max_source_points=4096``: hard trajectories need the denser
+      coarse stage (see module docstring); costs ~9 ms over the
+      clean-scene 2048 default.
+    * ``anchor_mode="map"`` (opt): progressive local-map anchoring for
+      trajectories that rotate away from frame 0.
+    * ``pose_graph=True`` (opt): SE(3) relaxation over redundant
+      skip-pair constraints — averages per-pair noise instead of
+      integrating it.
+    """
+    cfg = north_star_config()
+    refine = cfg.refine
+    if anchor_mode is not None:
+        refine = dataclasses.replace(refine, anchor_mode=anchor_mode)
+    if pose_graph:
+        refine = dataclasses.replace(refine, pose_graph=True)
+    return dataclasses.replace(
+        cfg,
+        coarse_warm_start=True,
+        rescue_inlier_frac=0.55,
+        ndt=dataclasses.replace(cfg.ndt, max_source_points=4096),
+        refine=refine,
     )
