@@ -1,3 +1,4 @@
+from rspc_tpu.parallel.chain import batched_registration  # noqa: F401
 from rspc_tpu.parallel.mesh import make_mesh  # noqa: F401
 from rspc_tpu.parallel.icp import (  # noqa: F401
     batched_sharded_icp_align,

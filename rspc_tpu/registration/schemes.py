@@ -1250,12 +1250,76 @@ def _registration_fused(
     compute of the north-star workload. One program also lets XLA overlap
     independent pieces (e.g. later frames' phase-1 scatters with the
     first chain steps)."""
-    n = stacked.xyz.shape[0]
     r = refine_cfg
     feats, full = _phase1_prepare(
         stacked, edge_cfg, r.leaf_size, r.max_points, r.enabled, r.decimate,
         r.normal_purity,
     )
+    return _registration_body(
+        stacked,
+        feats,
+        full,
+        guesses,
+        use_ndt,
+        ndt_cfg,
+        icp_cfg,
+        refine_cfg,
+        leaf,
+        voxel_cap,
+        coarse_guard_cap,
+        warm_start,
+        rescue_thresh,
+        rescue_cap,
+        rescue_iters,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "use_ndt",
+        "ndt_cfg",
+        "icp_cfg",
+        "refine_cfg",
+        "leaf",
+        "voxel_cap",
+        "coarse_guard_cap",
+        "warm_start",
+        "rescue_thresh",
+        "rescue_cap",
+        "rescue_iters",
+    ),
+)
+def _registration_body(
+    stacked: OrganizedCloud,   # [n, H, W, ...]
+    feats,                     # Cloud [n, edge_cap, ...] (phase-1 output)
+    full,                      # Cloud [n, full_cap, ...] or () (phase-1)
+    guesses,                   # f32[n-1, 4, 4]
+    use_ndt: bool,
+    ndt_cfg,
+    icp_cfg,
+    refine_cfg,
+    leaf: float,
+    voxel_cap: int,
+    coarse_guard_cap: float,
+    warm_start: bool = False,
+    rescue_thresh: float = 0.0,
+    rescue_cap: float = 0.1,
+    rescue_iters: int = 8,
+):
+    """Everything after phase-1: the frame chain, anchor refinement, and
+    global assembly. Factored out of :func:`_registration_fused` so
+    callers with their own feature frontend (pre-extracted edge clouds,
+    a different detector) can enter the pipeline at the chain boundary.
+
+    Do NOT vmap this over a sequence batch: a batch axis re-tiles the
+    [N, 3] geometry buffers (the 3-wide coordinate axis lands in the
+    128-lane tile) and masks every while-loop carry per iteration —
+    measured 13x device-time inflation on the north-star workload.
+    Batch sequences with ``lax.map`` / ``shard_map`` instead
+    (``parallel/chain.py::batched_registration``)."""
+    n = stacked.xyz.shape[0]
+    r = refine_cfg
     out = _chain_scan(
         feats,
         full if (r.enabled and r.chain) else None,

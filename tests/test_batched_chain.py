@@ -1,0 +1,193 @@
+"""Sequence-batched registration (parallel/chain.py): parity of the
+vmapped / data-sharded batch against per-sequence single runs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rspc_tpu.capture.synthetic import SyntheticSequence
+from rspc_tpu.cloud import OrganizedCloud
+from rspc_tpu.config import (
+    EdgeConfig,
+    ICPConfig,
+    NDTConfig,
+    PipelineConfig,
+    VoxelConfig,
+)
+from rspc_tpu.ops.deproject import Intrinsics
+from rspc_tpu.parallel.chain import batched_registration
+from rspc_tpu.parallel.mesh import make_mesh
+from rspc_tpu.registration.schemes import _registration_fused
+
+INTR = Intrinsics.simple(80, 60)
+N_FRAMES = 3
+
+
+def _cfg():
+    return PipelineConfig(
+        icp=ICPConfig(
+            max_iterations=20,
+            transformation_epsilon=1e-8,
+            euclidean_fitness_epsilon=1e-12,
+            max_correspondence_distance=0.25,
+            target_chunk=512,
+            use_pallas=False,
+        ),
+        ndt=NDTConfig(dense_grid_dim=16, max_source_points=1024),
+        edge=EdgeConfig(max_edge_points=1024),
+        voxel=VoxelConfig(leaf_size=0.05, max_points=1024),
+    )
+
+
+def _sequences(b, seed_yaws):
+    """b sequences over the same room with different yaw rates (so the
+    batch is NOT degenerate copies) -> stacked [B, n, H, W, ...]."""
+    seqs = []
+    for yaw in seed_yaws[:b]:
+        s = SyntheticSequence(n_frames=N_FRAMES, yaw_step=yaw, intr=INTR)
+        seqs.append(s)
+    clouds = [s.clouds() for s in seqs]
+    stacked = OrganizedCloud(
+        xyz=jnp.stack([jnp.stack([c.xyz for c in cs]) for cs in clouds]),
+        rgb=jnp.stack([jnp.stack([c.rgb for c in cs]) for cs in clouds]),
+        valid=jnp.stack([jnp.stack([c.valid for c in cs]) for cs in clouds]),
+    )
+    # static accumulated-yaw guesses, per sequence (the reference's
+    # no-IMU path: acc_rads += rads per pair)
+    guesses = []
+    for s in seqs:
+        g = []
+        acc = 0.0
+        for _ in range(N_FRAMES - 1):
+            acc += s.yaw_step
+            c, sn = np.cos(acc), np.sin(acc)
+            m = np.eye(4, dtype=np.float32)
+            m[0, 0] = c
+            m[0, 2] = sn
+            m[2, 0] = -sn
+            m[2, 2] = c
+            g.append(m)
+        guesses.append(np.stack(g))
+    return stacked, jnp.asarray(np.stack(guesses)), seqs
+
+
+YAWS = (-0.07, -0.05, -0.09, -0.06, -0.08, -0.04, -0.10, -0.055)
+
+
+def _single_reference(stacked, guesses, cfg, use_ndt):
+    outs = []
+    for i in range(stacked.xyz.shape[0]):
+        seq_i = jax.tree.map(lambda x: x[i], stacked)
+        out = _registration_fused(
+            seq_i,
+            guesses[i],
+            cfg.edge,
+            use_ndt,
+            cfg.ndt,
+            cfg.icp,
+            cfg.refine,
+            cfg.voxel.leaf_size,
+            cfg.voxel.max_points,
+            cfg.coarse_guard_cap,
+            cfg.coarse_warm_start,
+            cfg.rescue_inlier_frac,
+            cfg.rescue_cap,
+            cfg.rescue_iterations,
+        )
+        outs.append(
+            (np.asarray(out["totals"]), np.asarray(out["fine"].converged))
+        )
+    return outs
+
+
+@pytest.mark.parametrize("use_ndt", [True, False])
+def test_batched_matches_single(use_ndt):
+    cfg = _cfg()
+    stacked, guesses, seqs = _sequences(2, YAWS)
+    got = batched_registration(stacked, guesses, cfg, use_ndt=use_ndt)
+    ref = _single_reference(stacked, guesses, cfg, use_ndt)
+    assert got["totals"].shape == (2, N_FRAMES - 1, 4, 4)
+    for i, (t_ref, conv_ref) in enumerate(ref):
+        # vmap changes f32 reduction orders (batched matmuls/segment
+        # sums), so per-pair solves drift at the 1e-4 level and the
+        # while-loop iterates on slightly different numbers; 3e-4 is
+        # sub-mm on the translation entries and far below the scene's
+        # accuracy scale
+        np.testing.assert_allclose(
+            np.asarray(got["totals"][i]), t_ref, atol=3e-4,
+            err_msg=f"sequence {i}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["converged"][i]), conv_ref
+        )
+    # the batch actually recovered the (different) motions
+    for i, s in enumerate(seqs):
+        gt = s.gt_transform(N_FRAMES - 1)
+        err = np.abs(np.asarray(got["totals"][i, -1]) - gt).max()
+        assert err < 0.05, f"sequence {i}: err {err:.3g}"
+
+
+def test_batched_global_cloud_matches_single():
+    cfg = _cfg()
+    stacked, guesses, _ = _sequences(2, YAWS)
+    got = batched_registration(stacked, guesses, cfg, use_ndt=True)
+    seq0 = jax.tree.map(lambda x: x[0], stacked)
+    out0 = _registration_fused(
+        seq0, guesses[0], cfg.edge, True, cfg.ndt, cfg.icp, cfg.refine,
+        cfg.voxel.leaf_size, cfg.voxel.max_points, cfg.coarse_guard_cap,
+        cfg.coarse_warm_start, cfg.rescue_inlier_frac, cfg.rescue_cap,
+        cfg.rescue_iterations,
+    )
+    g = got["global"]
+    np.testing.assert_allclose(
+        np.asarray(g.xyz[0]), np.asarray(out0["global"].xyz), atol=3e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g.valid[0]), np.asarray(out0["global"].valid)
+    )
+
+
+def test_batched_sharded_over_mesh():
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "conftest provides 8 virtual CPU devices"
+    cfg = _cfg()
+    b = n_dev
+    stacked, guesses, _ = _sequences(b, YAWS)
+    mesh = make_mesh(n_dev, axes=("data",))
+    got = batched_registration(
+        stacked, guesses, cfg, use_ndt=True, mesh=mesh,
+        include_global=False,
+    )
+    assert "global" not in got
+    # sharded == vmapped-on-one-device (identical per-sequence programs)
+    local = batched_registration(
+        stacked, guesses, cfg, use_ndt=True, include_global=False
+    )
+    # partitioned execution changes f32 op order just like vmap does
+    np.testing.assert_allclose(
+        np.asarray(got["totals"]), np.asarray(local["totals"]), atol=3e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["converged"]), np.asarray(local["converged"])
+    )
+    # and it is genuinely sharded: one shard per device on the batch axis
+    shard_counts = {s.device for s in got["totals"].addressable_shards}
+    assert len(shard_counts) == n_dev
+
+
+def test_batched_shape_validation():
+    cfg = _cfg()
+    stacked, guesses, _ = _sequences(2, YAWS)
+    with pytest.raises(ValueError, match="sequence batch"):
+        batched_registration(
+            jax.tree.map(lambda x: x[0], stacked), guesses, cfg
+        )
+    with pytest.raises(ValueError, match="guesses"):
+        batched_registration(stacked, guesses[:, :1], cfg)
+    mesh = make_mesh(len(jax.devices()), axes=("data",))
+    if len(jax.devices()) > 2:
+        with pytest.raises(ValueError, match="divisible"):
+            batched_registration(stacked, guesses, cfg, mesh=mesh)
