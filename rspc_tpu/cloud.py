@@ -52,6 +52,10 @@ class Cloud:
     # consumed by the point-to-plane ICP variant). None = not carried;
     # presence is static, so jitted consumers specialize on it.
     normal: Optional[jax.Array] = None  # f32[N, 3] or None
+    # Optional tangent-plane intensity gradients (intensity/meter),
+    # consumed by the colored-ICP residual (ops/colorgrad.py). Like
+    # normals: None = not carried, presence is static.
+    cgrad: Optional[jax.Array] = None  # f32[N, 3] or None
 
     @property
     def capacity(self) -> int:
@@ -122,6 +126,11 @@ class Cloud:
                 None
                 if self.normal is None
                 else jnp.pad(self.normal, ((0, pad), (0, 0)))
+            ),
+            cgrad=(
+                None
+                if self.cgrad is None
+                else jnp.pad(self.cgrad, ((0, pad), (0, 0)))
             ),
         )
 
