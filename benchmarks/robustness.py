@@ -117,6 +117,7 @@ def main():
             "ndt_edge_warm",
             "ndt_edge_rescue",
             "ndt_edge_map",
+            "ndt_edge_color",
             "ndt_edge_graph",
             "icp_edge",
             "incremental",
@@ -136,6 +137,15 @@ def main():
                     # that rotate away from frame 0
                     cfg_m = robust_config(anchor_mode="map")
                     s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_m)
+                    r = s.registration(clouds)
+                elif scheme_name == "ndt_edge_color":
+                    # map anchoring + the colored-ICP residual in the
+                    # anchor stages: in-plane observability from texture
+                    # where the geometric plane residual is blind (the
+                    # 'combined' drift wall — fine-cap edge inliers
+                    # collapse and p2l refuses to move along the wall)
+                    cfg_c = robust_config(anchor_mode="map", color=True)
+                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_c)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_rescue":
                     # warm start + gated wide-cap rescue: the warm start

@@ -44,13 +44,14 @@ if not _os.environ.get("RSPC_BF16_MATMUL"):
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Persistent XLA compilation cache (default ON; opt out with
-    RSPC_NO_CACHE=1). The full-pipeline program compiles in minutes
-    through a remote-compile TPU tunnel but deserializes from this cache
-    in ~1 s, so one-shot CLI invocations would otherwise pay the whole
-    compile every run. Verified to serialize/deserialize correctly
-    through the axon remote-compile tunnel; wrapped in try/except so
-    backends without executable serialization silently skip it."""
+    """Persistent XLA compilation cache (default ON for TPU backends;
+    opt out with RSPC_NO_CACHE=1). The full-pipeline program compiles in
+    minutes through a remote-compile TPU tunnel but deserializes from
+    this cache in ~1 s, so one-shot CLI invocations would otherwise pay
+    the whole compile every run. Verified to serialize/deserialize
+    correctly through the axon remote-compile tunnel; wrapped in
+    try/except so backends without executable serialization silently
+    skip it."""
     import jax
 
     cache_dir = path or _os.environ.get(
@@ -63,7 +64,25 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # older jax without these flags
 
 
-if not _os.environ.get("RSPC_NO_CACHE"):
+def _cache_is_safe() -> bool:
+    # The cache exists to amortize the remote TPU compile. On XLA:CPU it
+    # is a liability, twice over: (a) serializing the large fused
+    # pipeline executables aborts inside
+    # compilation_cache.put_executable_and_time (reproduced 2/2 on full
+    # test-suite runs — a CHECK in XLA:CPU AOT export, not fixable from
+    # Python), and (b) deserializing an executable AOT-compiled on a
+    # different host SIGILLs when machine features differ (XLA warns
+    # exactly this on the virtual-CPU dryrun). CPU compiles are seconds,
+    # not minutes, so the cache buys nothing there — keep it TPU-only.
+    # JAX_PLATFORMS is authoritative here: the test conftest and the
+    # driver's virtual-CPU dryrun both export JAX_PLATFORMS=cpu before
+    # this module is imported; probing jax.devices() instead would
+    # initialize the backend prematurely.
+    plats = _os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    return plats != "cpu"
+
+
+if not _os.environ.get("RSPC_NO_CACHE") and _cache_is_safe():
     enable_compilation_cache()
 
 from rspc_tpu.cloud import Cloud, OrganizedCloud  # noqa: F401

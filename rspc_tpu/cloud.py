@@ -36,6 +36,22 @@ def _register(cls):
     return cls
 
 
+# Optional per-point [.., 3] vector payloads beyond xyz/rgb. Every op
+# that restructures a cloud (compact, concatenate, merge, stride, crop,
+# flatten) maps over this list so a new optional field can never be
+# silently dropped by one forgotten enumeration.
+OPTIONAL_VEC_FIELDS = ("normal", "cgrad")
+
+
+def map_optional(cloud, fn) -> dict:
+    """Apply ``fn`` to each non-None optional vector field; returns the
+    kwargs dict ({} entries stay None)."""
+    return {
+        name: (None if getattr(cloud, name) is None else fn(getattr(cloud, name)))
+        for name in OPTIONAL_VEC_FIELDS
+    }
+
+
 @_register
 @dataclasses.dataclass(frozen=True)
 class Cloud:
@@ -67,13 +83,17 @@ class Cloud:
 
     @staticmethod
     def empty(
-        capacity: int, dtype=jnp.float32, with_normal: bool = False
+        capacity: int,
+        dtype=jnp.float32,
+        with_normal: bool = False,
+        with_cgrad: bool = False,
     ) -> "Cloud":
         return Cloud(
             xyz=jnp.zeros((capacity, 3), dtype),
             rgb=jnp.zeros((capacity, 3), dtype),
             valid=jnp.zeros((capacity,), jnp.bool_),
             normal=jnp.zeros((capacity, 3), dtype) if with_normal else None,
+            cgrad=jnp.zeros((capacity, 3), dtype) if with_cgrad else None,
         )
 
     @staticmethod
@@ -122,16 +142,7 @@ class Cloud:
             xyz=jnp.pad(self.xyz, ((0, pad), (0, 0))),
             rgb=jnp.pad(self.rgb, ((0, pad), (0, 0))),
             valid=jnp.pad(self.valid, (0, pad)),
-            normal=(
-                None
-                if self.normal is None
-                else jnp.pad(self.normal, ((0, pad), (0, 0)))
-            ),
-            cgrad=(
-                None
-                if self.cgrad is None
-                else jnp.pad(self.cgrad, ((0, pad), (0, 0)))
-            ),
+            **map_optional(self, lambda x: jnp.pad(x, ((0, pad), (0, 0)))),
         )
 
 
@@ -148,6 +159,9 @@ class OrganizedCloud:
     rgb: jax.Array    # f32[H, W, 3], 0..255
     valid: jax.Array  # bool[H, W]
     normal: Optional[jax.Array] = None  # f32[H, W, 3] or None
+    # Tangent-plane intensity gradients (ops/colorgrad.py), like normal:
+    # None = not carried; presence is static.
+    cgrad: Optional[jax.Array] = None   # f32[H, W, 3] or None
 
     @property
     def height(self) -> int:
@@ -167,9 +181,7 @@ class OrganizedCloud:
             xyz=self.xyz.reshape(hw, 3),
             rgb=self.rgb.reshape(hw, 3),
             valid=self.valid.reshape(hw),
-            normal=(
-                None if self.normal is None else self.normal.reshape(hw, 3)
-            ),
+            **map_optional(self, lambda x: x.reshape(hw, 3)),
         )
 
     @staticmethod
@@ -212,9 +224,7 @@ class OrganizedCloud:
             xyz=self.xyz[r0:r1, c0:c1],
             rgb=self.rgb[r0:r1, c0:c1],
             valid=self.valid[r0:r1, c0:c1],
-            normal=(
-                None if self.normal is None else self.normal[r0:r1, c0:c1]
-            ),
+            **map_optional(self, lambda x: x[r0:r1, c0:c1]),
         )
 
 
@@ -225,12 +235,15 @@ def concatenate(a: Cloud, b: Cloud) -> Cloud:
     xyz = jnp.concatenate([a.xyz, b.xyz], axis=0)
     rgb = jnp.concatenate([a.rgb, b.rgb], axis=0)
     valid = jnp.concatenate([a.valid, b.valid], axis=0)
-    normal = (
-        jnp.concatenate([a.normal, b.normal], axis=0)
-        if a.normal is not None and b.normal is not None
-        else None
-    )
-    return compact(Cloud(xyz, rgb, valid, normal))
+    opt = {
+        name: (
+            jnp.concatenate([getattr(a, name), getattr(b, name)], axis=0)
+            if getattr(a, name) is not None and getattr(b, name) is not None
+            else None
+        )
+        for name in OPTIONAL_VEC_FIELDS
+    }
+    return compact(Cloud(xyz, rgb, valid, **opt))
 
 
 def compact(c: Cloud, capacity: Optional[int] = None) -> Cloud:
@@ -251,6 +264,6 @@ def compact(c: Cloud, capacity: Optional[int] = None) -> Cloud:
         take(c.xyz),
         take(c.rgb),
         take(c.valid),
-        None if c.normal is None else take(c.normal),
+        **map_optional(c, take),
     )
     return out.pad_to(cap)

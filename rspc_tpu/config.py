@@ -51,6 +51,21 @@ class ICPConfig:
     # positive mix adds absolute point constraints but risks lattice
     # aliasing between voxel-downsampled clouds.
     point_plane_mix: float = 0.0
+    # Colored-ICP residual weight (Park, Zhou, Koltun ICCV 2017; see
+    # ops/colorgrad.py). Adds rows ``g . (T src - dst) + (I_dst -
+    # I_src)`` to the point-to-plane 6x6 solve, where ``g`` is the
+    # target's tangent-plane intensity gradient (Cloud.cgrad) — the
+    # in-plane observability the geometric plane residual lacks on
+    # weakly-textured planar scenes. 0 (default) disables; requires a
+    # target cloud carrying cgrad (RefineConfig.color wires it through
+    # phase 1 + the voxel downsample). Units: the color residual is in
+    # intensity ([0,1]) while the plane residual is in meters, so the
+    # effective trade-off also scales with |g| (intensity/meter).
+    color_weight: float = 0.0
+    # Huber delta for the color residual, in intensity units. Rejects
+    # specular highlights / exposure steps whose intensity mismatch no
+    # rigid motion can explain. None = plain least squares.
+    color_huber_delta: float | None = 0.05
     # TPU execution knobs (no reference analog):
     target_chunk: int = 2048   # target tile size for the XLA NN sweep
     use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back
@@ -103,6 +118,20 @@ class NDTConfig:
     # hash-shuffled voxel order, so a PREFIX SLICE of the buffer is
     # already a spatially uniform subsample — no extra shuffle pass.
     max_source_points: int = 0
+    # Dense compact-cell sweep (TPU knob; 0 = off, use the widened-table
+    # row gather). >0: once per align, compact the grid's VALID cells
+    # (typically a few hundred of D^3) into a [C]-row table and evaluate
+    # the score/derivatives as a dense [N x C] broadcast sweep —
+    # radius + adjacency + validity as an elementwise mask, per-cell
+    # channels reduced over C BEFORE the 10x10 gram matmul. Zero gathers
+    # inside the Newton loop (the roofline's named bottleneck: the
+    # per-iteration neighborhood row gather is latency-bound at ~1.1 ms
+    # while the whole evaluation is ~3 MFLOP). Mathematically identical
+    # to the gather path (same frozen-neighborhood semantics; proof of
+    # mask equivalence in registration/ndt.py::_compact_cells). Valid
+    # cells beyond the cap are dropped — size it generously (a 10-frame
+    # room at 1 m resolution occupies ~200-800 cells).
+    sweep_cells: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,6 +212,12 @@ class RefineConfig:
     # lies on neither surface — a consistent point-to-plane bias source
     # (see ops/voxel.voxel_downsample).
     normal_purity: float = 0.0
+    # Carry tangent-plane intensity gradients (ops/colorgrad.py) on the
+    # full downsampled clouds, enabling the colored-ICP residual in any
+    # stage whose ICPConfig.color_weight > 0. Costs three image-space
+    # difference passes in phase 1 plus 3 floats/point through the
+    # voxel downsample and chain carries.
+    color: bool = False
     # In-chain refinement: refine each pair against the ACCUMULATED full
     # surface inside the frame chain (improves the targets later frames
     # align to, but its small per-pair bias accumulates as drift).

@@ -60,7 +60,12 @@ def _solve3(m: jnp.ndarray, b: jnp.ndarray, eps: float) -> jnp.ndarray:
     c20 = a10 * a21 - a11 * a20
     c21 = a01 * a20 - a00 * a21
     c22 = a00 * a11 - a01 * a10
-    det = a00 * c00 + a01 * c01 + a02 * c02
+    # c[i][j] above is the ADJUGATE entry adj[i][j] (= cofactor C[j][i]),
+    # so the solve below is inv(m) b = adj(m) b / det for any m; the det
+    # expansion along row 0 needs the COFACTORS of row 0, i.e. adj
+    # column 0 (c00, c10, c20) — using (c00, c01, c02) is only correct
+    # for symmetric m.
+    det = a00 * c00 + a01 * c10 + a02 * c20
     ok = jnp.abs(det) > eps
     inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
     b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
@@ -71,7 +76,11 @@ def _solve3(m: jnp.ndarray, b: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def color_gradients(
-    oc: OrganizedCloud, normals: jnp.ndarray, normals_valid: jnp.ndarray
+    oc: OrganizedCloud,
+    normals: jnp.ndarray,
+    normals_valid: jnp.ndarray,
+    step_ratio: float = 4.0,
+    max_step: float = 0.1,
 ) -> jnp.ndarray:
     """Tangent-plane intensity gradient ``g f32[H, W, 3]`` (intensity
     units per meter) at every organized pixel.
@@ -87,10 +96,12 @@ def color_gradients(
     i_img = intensity(oc.rgb)
     xyz, valid = oc.xyz, oc.valid
 
-    def central(arr, axis):
-        fwd = jnp.roll(arr, -1, axis=axis)
-        bwd = jnp.roll(arr, 1, axis=axis)
-        return fwd - bwd
+    def diffs(arr, axis):
+        """(forward, backward) one-pixel differences along ``axis``
+        (their sum is the central difference)."""
+        fwd = jnp.roll(arr, -1, axis=axis) - arr
+        bwd = arr - jnp.roll(arr, 1, axis=axis)
+        return fwd, bwd
 
     def edge_ok(axis):
         ok = (
@@ -105,18 +116,28 @@ def color_gradients(
         shape[axis] = ok.shape[axis]
         return ok & border.reshape(shape)
 
-    dp_v = central(xyz, 0)   # along image rows (v direction)
-    di_v = central(i_img, 0)
-    ok_v = edge_ok(0)
-    dp_u = central(xyz, 1)   # along image cols (u direction)
-    di_u = central(i_img, 1)
-    ok_u = edge_ok(1)
+    def axis_rows(axis):
+        pf, pb = diffs(xyz, axis)
+        dp = pf + pb  # central difference
+        di = jnp.roll(i_img, -1, axis=axis) - jnp.roll(i_img, 1, axis=axis)
+        # Depth-discontinuity gate: on one smooth surface the forward and
+        # backward steps are near-equal; a row straddling an occlusion
+        # edge has one step much larger than the other — its "gradient"
+        # is occlusion geometry, not texture. Reject asymmetric rows and
+        # (absolute backstop) any step larger than max_step.
+        nf = jnp.linalg.norm(pf, axis=-1)
+        nb = jnp.linalg.norm(pb, axis=-1)
+        symmetric = jnp.maximum(nf, nb) <= (
+            step_ratio * jnp.minimum(nf, nb) + 1e-6
+        )
+        small = jnp.maximum(nf, nb) <= max_step
+        return dp, di, edge_ok(axis) & symmetric & small
+
+    dp_v, di_v, ok_v = axis_rows(0)  # along image rows (v direction)
+    dp_u, di_u, ok_u = axis_rows(1)  # along image cols (u direction)
 
     def norm_row(dp, di, ok):
         n2 = jnp.sum(dp * dp, axis=-1)
-        # Reject differences across depth discontinuities: a step much
-        # larger than the local pixel pitch straddles two surfaces and
-        # its "gradient" is occlusion geometry, not texture.
         inv = jnp.where(n2 > 1e-12, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-12)), 0.0)
         w = (ok & (n2 > 1e-12)).astype(dp.dtype)
         return dp * inv[..., None] * w[..., None], di * inv * w

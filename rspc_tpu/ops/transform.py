@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rspc_tpu.cloud import Cloud
+from rspc_tpu.cloud import Cloud, map_optional
 
 
 def rotation_matrix(angle, axis: int) -> jnp.ndarray:
@@ -79,12 +79,9 @@ def apply_transform_cloud(transform: jnp.ndarray, cloud: Cloud) -> Cloud:
         xyz=apply_transform(transform, cloud.xyz),
         rgb=cloud.rgb,
         valid=cloud.valid,
-        # normals rotate without translating (rigid => inv-transpose == R)
-        normal=(
-            None
-            if cloud.normal is None
-            else rotate_points(rot, cloud.normal)
-        ),
+        # per-point direction fields (normals, tangent-plane intensity
+        # gradients) rotate without translating (rigid => R^-T == R)
+        **map_optional(cloud, lambda v: rotate_points(rot, v)),
     )
 
 

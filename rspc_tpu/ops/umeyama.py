@@ -146,15 +146,28 @@ def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
 
 
 def plane_fit_moments(
-    src: jnp.ndarray, dst: jnp.ndarray, normal: jnp.ndarray, weights: jnp.ndarray
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    normal: jnp.ndarray,
+    weights: jnp.ndarray,
+    offset: jnp.ndarray | None = None,
 ):
     """Additive moments of the linearized point-to-plane problem:
     rows ``a_i = [src_i x n_i ; n_i]``, residuals ``r_i = n_i . (src_i -
-    dst_i)``; returns ``(H f32[6,6], g f32[6])`` with H = sum w a a^T,
-    g = sum w a r. Additive across shards like fit_moments."""
+    dst_i) (+ offset_i)``; returns ``(H f32[6,6], g f32[6])`` with
+    H = sum w a a^T, g = sum w a r. Additive across shards like
+    fit_moments.
+
+    ``offset`` generalizes the row to any scalar residual linear in the
+    motion along direction ``normal`` — the colored-ICP term (Park,
+    Zhou, Koltun 2017) is exactly this row with the unit normal replaced
+    by the target's tangent-plane intensity gradient and
+    ``offset = I_dst - I_src`` (see registration/icp.py)."""
     w = weights.astype(src.dtype)
     a = jnp.concatenate([jnp.cross(src, normal), normal], axis=-1)  # [N,6]
     r = jnp.sum((src - dst) * normal, axis=-1)  # [N]
+    if offset is not None:
+        r = r + offset
     aw = a * w[:, None]
     h = jnp.matmul(aw.T, a, precision=jax.lax.Precision.HIGHEST)
     g = aw.T @ r
@@ -224,6 +237,9 @@ def plane_fit(
     normal: jnp.ndarray,
     weights: jnp.ndarray,
     point_mix: float = 0.0,
+    cgrad: jnp.ndarray | None = None,
+    color_resid: jnp.ndarray | None = None,
+    color_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Least-squares rigid transform minimizing point-to-PLANE error
     ``sum w (n . (T src - dst))^2`` (PCL analog:
@@ -245,6 +261,21 @@ def plane_fit(
     w = weights.astype(src.dtype)
     c = jnp.sum(src * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1e-12)
     h, g = plane_fit_moments(src - c, dst - c, normal, weights)
+    if cgrad is not None:
+        # Colored-ICP rows (Park, Zhou, Koltun ICCV 2017): the same
+        # linearized row structure with direction = the target's
+        # tangent-plane intensity gradient and residual offset
+        # ``color_resid = I_dst - I_src`` (computed at the gather site —
+        # intensities are pose-invariant). Centered about the same c so
+        # the rotation/translation blocks stay decoupled; the offset is
+        # translation-invariant (g . ((s-c)-(d-c)) == g . (s-d)).
+        hc, gc = plane_fit_moments(
+            src - c, dst - c, cgrad,
+            w if color_weights is None else color_weights,
+            offset=color_resid,
+        )
+        h = h + hc
+        g = g + gc
     if point_mix > 0.0:
         # Blend in a point-to-point term: scenes whose visible normals
         # span fewer than 3 directions (e.g. a horizontal sweep that

@@ -99,6 +99,8 @@ def voxel_downsample(
     cols = [jnp.ones((n, 1), xyz.dtype), xyz, rgb]
     if cloud.normal is not None:
         cols.append(cloud.normal)
+    if cloud.cgrad is not None:
+        cols.append(cloud.cgrad)
     upd = jnp.concatenate(cols, axis=-1)
     upd = jnp.where(valid[:, None], upd, 0.0)
     acc = jnp.zeros((max_points, upd.shape[1]), xyz.dtype).at[
@@ -111,11 +113,13 @@ def voxel_downsample(
     out_xyz = jnp.where(out_valid[:, None], acc[:, 1:4] / denom, 0.0)
     out_rgb = acc[:, 4:7] / denom
     out_nrm = None
+    col = 7
     if cloud.normal is not None:
         # mean normal per voxel, renormalized (degenerate sums fall back
         # to +z so downstream math stays finite; such voxels are rare --
         # they need opposing normals in one 1 cm leaf)
-        sum_n = acc[:, 7:10]
+        sum_n = acc[:, col:col + 3]
+        col += 3
         nlen = jnp.linalg.norm(sum_n, axis=-1, keepdims=True)
         out_nrm = jnp.where(
             nlen > 1e-12, sum_n / jnp.maximum(nlen, 1e-12),
@@ -124,4 +128,14 @@ def voxel_downsample(
         if min_normal_purity > 0.0:
             purity = nlen[:, 0] / jnp.maximum(counts, 1.0)
             out_valid = out_valid & (purity >= min_normal_purity)
-    return Cloud(xyz=out_xyz, rgb=out_rgb, valid=out_valid, normal=out_nrm)
+    out_cg = None
+    if cloud.cgrad is not None:
+        # mean gradient per voxel, NOT renormalized — unlike normals the
+        # magnitude is the signal (intensity change per meter); opposing
+        # gradients in one cell cancel, correctly muting the colored
+        # residual where the voxel mean has no coherent texture.
+        out_cg = acc[:, col:col + 3] / denom
+    return Cloud(
+        xyz=out_xyz, rgb=out_rgb, valid=out_valid, normal=out_nrm,
+        cgrad=out_cg,
+    )

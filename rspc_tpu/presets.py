@@ -120,6 +120,8 @@ def north_star_config() -> PipelineConfig:
 def robust_config(
     anchor_mode: str | None = None,
     pose_graph: bool = False,
+    color: bool = False,
+    color_weight: float = 2.0,
 ) -> PipelineConfig:
     """North-star preset + the robustness stack (all opt-in mechanisms
     measured in the RESULTS.md adversarial matrix).
@@ -137,6 +139,12 @@ def robust_config(
     * ``pose_graph=True`` (opt): SE(3) relaxation over redundant
       skip-pair constraints — averages per-pair noise instead of
       integrating it.
+    * ``color=True`` (opt): colored-ICP residual (Park-Zhou-Koltun;
+      ops/colorgrad.py) in the anchor stages — in-plane observability
+      for weakly-textured planar scenes where the geometric plane
+      residual is blind (the `combined` drift wall, RESULTS.md).
+      ``color_weight`` scales the photometric rows against the
+      geometric ones (intensity vs meter units; see ICPConfig).
     """
     cfg = north_star_config()
     refine = cfg.refine
@@ -144,6 +152,15 @@ def robust_config(
         refine = dataclasses.replace(refine, anchor_mode=anchor_mode)
     if pose_graph:
         refine = dataclasses.replace(refine, pose_graph=True)
+    if color:
+        refine = dataclasses.replace(
+            refine,
+            color=True,
+            anchor_stages=tuple(
+                dataclasses.replace(s, color_weight=color_weight)
+                for s in refine.anchor_stages
+            ),
+        )
     return dataclasses.replace(
         cfg,
         coarse_warm_start=True,

@@ -117,6 +117,18 @@ def icp_align(
             "point_to_plane ICP needs a target cloud with normals "
             "(edge clouds carry them; see extract_edge_features)"
         )
+    # Colored-ICP residual (Park, Zhou, Koltun 2017; ops/colorgrad.py):
+    # engages only when the target carries tangent-plane intensity
+    # gradients AND the config asks for it — both static, so the plain
+    # geometric program is untouched otherwise.
+    colored = (
+        p2l and config.color_weight > 0.0 and tgt.cgrad is not None
+    )
+    if colored:
+        from rspc_tpu.ops.colorgrad import intensity
+
+        i_src = intensity(src.rgb).astype(dtype)   # pose-invariant
+        i_tgt = intensity(tgt.rgb).astype(dtype)
 
     max_d2 = jnp.asarray(
         config.max_correspondence_distance**2, dtype
@@ -184,9 +196,25 @@ def icp_align(
                     1.0,
                     config.huber_delta / jnp.maximum(jnp.abs(r), 1e-12),
                 )
+            color_kw = {}
+            if colored:
+                g_m = jnp.take(tgt.cgrad, idx, axis=0)
+                di = jnp.take(i_tgt, idx, axis=0) - i_src
+                w_c = w * jnp.asarray(config.color_weight, dtype)
+                if config.color_huber_delta is not None:
+                    r_c = jnp.sum((src_t - tgt_m) * g_m, axis=-1) + di
+                    w_c = w_c * jnp.minimum(
+                        1.0,
+                        config.color_huber_delta
+                        / jnp.maximum(jnp.abs(r_c), 1e-12),
+                    )
+                color_kw = dict(
+                    cgrad=g_m, color_resid=di, color_weights=w_c
+                )
             t_inc = plane_fit(
                 src_t, tgt_m, tgt_n, w_fit,
                 point_mix=config.point_plane_mix,
+                **color_kw,
             )
             # Trust region: correspondences were searched within
             # max_correspondence_distance; an increment moving any point

@@ -46,7 +46,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rspc_tpu.cloud import Cloud, OrganizedCloud
+from rspc_tpu.cloud import (
+    OPTIONAL_VEC_FIELDS,
+    Cloud,
+    OrganizedCloud,
+    map_optional,
+)
 from rspc_tpu.config import PipelineConfig
 from rspc_tpu.ops.edges import extract_edge_features
 from rspc_tpu.ops.normals import estimate_normals
@@ -90,18 +95,22 @@ def merge_append(dst: Cloud, src: Cloud, gate=None) -> Cloud:
     start = dst.count()
     pos = start + jnp.arange(src.capacity, dtype=jnp.int32)
     pos = jnp.where(svalid, pos, dst.capacity)  # OOB -> dropped
-    keep_normal = dst.normal is not None and src.normal is not None
+    opt = {
+        name: (
+            getattr(dst, name).at[pos].set(
+                jnp.take(getattr(src, name), order, axis=0), mode="drop"
+            )
+            if getattr(dst, name) is not None
+            and getattr(src, name) is not None
+            else None
+        )
+        for name in OPTIONAL_VEC_FIELDS
+    }
     return Cloud(
         xyz=dst.xyz.at[pos].set(sxyz, mode="drop"),
         rgb=dst.rgb.at[pos].set(srgb, mode="drop"),
         valid=dst.valid.at[pos].set(svalid, mode="drop"),
-        normal=(
-            dst.normal.at[pos].set(
-                jnp.take(src.normal, order, axis=0), mode="drop"
-            )
-            if keep_normal
-            else None
-        ),
+        **opt,
     )
 
 
@@ -115,15 +124,20 @@ def _block_append(dst: Cloud, src: Cloud, offset, gate=None) -> Cloud:
     ``offset + src.capacity <= dst.capacity``."""
     valid = src.valid if gate is None else src.valid & gate
     dus = jax.lax.dynamic_update_slice
+    opt = {
+        name: (
+            dus(getattr(dst, name), getattr(src, name), (offset, 0))
+            if getattr(dst, name) is not None
+            and getattr(src, name) is not None
+            else getattr(dst, name)
+        )
+        for name in OPTIONAL_VEC_FIELDS
+    }
     return Cloud(
         xyz=dus(dst.xyz, src.xyz, (offset, 0)),
         rgb=dus(dst.rgb, src.rgb, (offset, 0)),
         valid=dus(dst.valid, valid, (offset,)),
-        normal=(
-            dus(dst.normal, src.normal, (offset, 0))
-            if dst.normal is not None and src.normal is not None
-            else dst.normal
-        ),
+        **opt,
     )
 
 
@@ -347,7 +361,7 @@ def _stride_cloud(cloud: Cloud, max_points: int) -> Cloud:
         xyz=cloud.xyz[::step],
         rgb=cloud.rgb[::step],
         valid=cloud.valid[::step],
-        normal=None if cloud.normal is None else cloud.normal[::step],
+        **map_optional(cloud, lambda x: x[::step]),
     )
 
 
@@ -600,6 +614,14 @@ def _anchor_refine(
 
     rel = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (b, 4, 4))
     cur = src0.xyz
+    use_color = anchor.cgrad is not None and any(
+        s.color_weight > 0.0 for s in stages
+    )
+    if use_color:
+        from rspc_tpu.ops.colorgrad import intensity
+
+        i_src = intensity(fulls.rgb).astype(dtype)     # [b, n_pts]
+        i_anchor = intensity(anchor.rgb).astype(dtype)  # [cap]
     before_stats = None
     for stage_cfg in stages:
         mcd2 = stage_cfg.max_correspondence_distance**2
@@ -627,11 +649,38 @@ def _anchor_refine(
                     1.0,
                     stage_cfg.huber_delta / jnp.maximum(jnp.abs(r), 1e-12),
                 )
-            t_inc = jax.vmap(
-                lambda s, d, nn, ww: plane_fit(
-                    s, d, nn, ww, stage_cfg.point_plane_mix
+            if use_color and stage_cfg.color_weight > 0.0:
+                # colored-ICP rows against the anchor's gradient field
+                # (see registration/icp.py for the residual definition)
+                g = jnp.take(
+                    anchor.cgrad, idx.reshape(-1), axis=0
+                ).reshape(b, n_pts, 3)
+                di = (
+                    jnp.take(i_anchor, idx.reshape(-1), axis=0).reshape(
+                        b, n_pts
+                    )
+                    - i_src
                 )
-            )(cur, q, nrm, w)
+                w_c = w * jnp.asarray(stage_cfg.color_weight, dtype)
+                if stage_cfg.color_huber_delta is not None:
+                    r_c = jnp.sum((cur - q) * g, axis=-1) + di
+                    w_c = w_c * jnp.minimum(
+                        1.0,
+                        stage_cfg.color_huber_delta
+                        / jnp.maximum(jnp.abs(r_c), 1e-12),
+                    )
+                t_inc = jax.vmap(
+                    lambda s, d, nn, ww, gg, dd, wc: plane_fit(
+                        s, d, nn, ww, stage_cfg.point_plane_mix,
+                        cgrad=gg, color_resid=dd, color_weights=wc,
+                    )
+                )(cur, q, nrm, w, g, di, w_c)
+            else:
+                t_inc = jax.vmap(
+                    lambda s, d, nn, ww: plane_fit(
+                        s, d, nn, ww, stage_cfg.point_plane_mix
+                    )
+                )(cur, q, nrm, w)
             # per-lane trust region (see registration/icp.py)
             def clip_one(t, c_xyz, c_valid):
                 ang = jnp.arccos(
@@ -842,6 +891,15 @@ def _anchor_refine_map(
     map_xyz = jnp.zeros((cap, 3), dtype).at[:m].set(fulls_all.xyz[0])
     map_nrm = jnp.zeros((cap, 3), dtype).at[:m].set(fulls_all.normal[0])
     map_val = jnp.zeros((cap,), bool).at[:m].set(fulls_all.valid[0])
+    # Colored stages need the map to carry per-point intensity (rgb) and
+    # the gradient field; plain-geometry runs keep the lean 3-buffer
+    # carry (the choice is static — cgrad presence and stage configs).
+    use_color = fulls_all.cgrad is not None and any(
+        s.color_weight > 0.0 for s in stages
+    )
+    if use_color:
+        map_rgb = jnp.zeros((cap, 3), dtype).at[:m].set(fulls_all.rgb[0])
+        map_cg = jnp.zeros((cap, 3), dtype).at[:m].set(fulls_all.cgrad[0])
 
     rest = jax.tree.map(lambda x: x[1:], fulls_all)
 
@@ -861,10 +919,14 @@ def _anchor_refine_map(
         return cnt, msq, pmsq
 
     def step(carry, inp):
-        mx, mn, mv, off, corr = carry
+        if use_color:
+            mx, mn, mv, mrgb, mcg, off, corr = carry
+        else:
+            mx, mn, mv, off, corr = carry
+            mrgb, mcg = zeros_rgb, None
         src, total = inp
         base_t = corr @ total
-        tgt = Cloud(mx, zeros_rgb, mv, normal=mn)
+        tgt = Cloud(mx, mrgb, mv, normal=mn, cgrad=mcg)
         src_t = apply_transform_cloud(base_t, src)
         _, rel, cur = _run_stages(tgt, src_t, stages)
         nb, rb, pb = gate_stats(src_t, tgt)
@@ -885,19 +947,37 @@ def _anchor_refine_map(
             mv, placed.valid & accepted, (off,)
         )
         off2 = off + jnp.where(accepted, m, 0)
+        if use_color:
+            mrgb2 = jax.lax.dynamic_update_slice(mrgb, placed.rgb, (off, 0))
+            mcg2 = jax.lax.dynamic_update_slice(mcg, placed.cgrad, (off, 0))
+            return (
+                (mx2, mn2, mv2, mrgb2, mcg2, off2, corr_new),
+                (total_new, accepted),
+            )
         return (mx2, mn2, mv2, off2, corr_new), (total_new, accepted)
 
-    init = (map_xyz, map_nrm, map_val, jnp.int32(m), jnp.eye(4, dtype=dtype))
+    if use_color:
+        init = (
+            map_xyz, map_nrm, map_val, map_rgb, map_cg, jnp.int32(m),
+            jnp.eye(4, dtype=dtype),
+        )
+    else:
+        init = (
+            map_xyz, map_nrm, map_val, jnp.int32(m), jnp.eye(4, dtype=dtype)
+        )
     _, (totals_new, accepted) = jax.lax.scan(step, init, (rest, totals))
     return totals_new, accepted
 
 
 @partial(
     jax.jit,
-    static_argnames=("edge_cfg", "leaf", "cap", "with_full", "dec", "purity"),
+    static_argnames=(
+        "edge_cfg", "leaf", "cap", "with_full", "dec", "purity", "color",
+    ),
 )
 def _phase1_prepare(
-    stacked: OrganizedCloud, edge_cfg, leaf, cap, with_full, dec=1, purity=0.0
+    stacked: OrganizedCloud, edge_cfg, leaf, cap, with_full, dec=1,
+    purity=0.0, color=False,
 ):
     """Batched phase 1: edge clouds (and, when ``with_full``, the refine
     stage's full downsampled clouds) for all frames in one launch."""
@@ -906,7 +986,7 @@ def _phase1_prepare(
         e = extract_edge_features(oc, edge_cfg)
         if with_full:
             return e, _prepare_full_down(
-                oc, edge_cfg, leaf, cap, dec, purity
+                oc, edge_cfg, leaf, cap, dec, purity, color
             )
         return e, ()
 
@@ -914,10 +994,11 @@ def _phase1_prepare(
 
 
 @partial(
-    jax.jit, static_argnames=("edge_cfg", "leaf", "cap", "dec", "purity")
+    jax.jit,
+    static_argnames=("edge_cfg", "leaf", "cap", "dec", "purity", "color"),
 )
 def _prepare_full_down(
-    oc: OrganizedCloud, edge_cfg, leaf, cap, dec=1, purity=0.0
+    oc: OrganizedCloud, edge_cfg, leaf, cap, dec=1, purity=0.0, color=False
 ) -> Cloud:
     """Phase-1 prep for the refine stage: attach integral-image normals to
     the full organized cloud and voxel-downsample (means of coplanar
@@ -928,21 +1009,35 @@ def _prepare_full_down(
     (RefineConfig.decimate): the voxel means average a uniform subsample
     instead of every pixel, cutting the sort+scatter traffic dec^2-fold.
     Normals still come from the full-resolution image (they CSE with the
-    edge path), so decimation does not coarsen the gradients."""
+    edge path), so decimation does not coarsen the gradients.
+
+    ``color`` additionally computes the tangent-plane intensity gradient
+    field (ops/colorgrad.py) in image space — three shifted differences
+    plus a closed-form 3x3 solve per pixel, fused into this program —
+    and carries its voxel means on ``Cloud.cgrad`` for the colored-ICP
+    residual (RefineConfig.color)."""
     nrm, nv = estimate_normals(oc, edge_cfg)
     xyz, rgb = oc.xyz, oc.rgb
     valid = oc.valid & nv
+    cg = None
+    if color:
+        from rspc_tpu.ops.colorgrad import color_gradients
+
+        cg = color_gradients(oc, nrm, nv)
     if dec > 1:
         xyz = xyz[::dec, ::dec]
         rgb = rgb[::dec, ::dec]
         valid = valid[::dec, ::dec]
         nrm = nrm[::dec, ::dec]
+        if cg is not None:
+            cg = cg[::dec, ::dec]
     m = xyz.shape[0] * xyz.shape[1]
     flat = Cloud(
         xyz.reshape(m, 3),
         rgb.reshape(m, 3),
         valid.reshape(m),
         normal=nrm.reshape(m, 3),
+        cgrad=None if cg is None else cg.reshape(m, 3),
     )
     return voxel_downsample(flat, leaf, cap, min_normal_purity=purity)
 
@@ -1054,7 +1149,12 @@ def _chain_scan(
         moments = ()
     if refine:
         target_full = merge_append(
-            Cloud.empty(refine_target_cap, with_normal=True), first(full_all)
+            Cloud.empty(
+                refine_target_cap,
+                with_normal=True,
+                with_cgrad=full_all.cgrad is not None,
+            ),
+            first(full_all),
         )
     else:
         target_full = ()
@@ -1253,7 +1353,7 @@ def _registration_fused(
     r = refine_cfg
     feats, full = _phase1_prepare(
         stacked, edge_cfg, r.leaf_size, r.max_points, r.enabled, r.decimate,
-        r.normal_purity,
+        r.normal_purity, r.color,
     )
     return _registration_body(
         stacked,
@@ -1442,7 +1542,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
             self._full_down = [
                 _prepare_full_down(
                     c, self.config.edge, r.leaf_size, r.max_points,
-                    r.decimate, r.normal_purity,
+                    r.decimate, r.normal_purity, r.color,
                 )
                 for c in clouds
             ]
@@ -1583,7 +1683,7 @@ class _EdgeBasedRegistration(TwoPhaseRegistrationScheme):
         )
         batched, full = _phase1_prepare(
             stacked, self.config.edge, r.leaf_size, r.max_points, r.enabled,
-            r.decimate, r.normal_purity,
+            r.decimate, r.normal_purity, r.color,
         )
         idx = lambda t, i: jax.tree.map(lambda x: x[i], t)
         if r.enabled:
