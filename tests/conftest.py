@@ -20,8 +20,13 @@ import sys
 # on the 2026-08-18 build host; identical programs pass under
 # `ulimit -s unlimited`). Raising RLIMIT_STACK at runtime is NOT enough:
 # the kernel fixed the stack->mmap gap at exec time using the old limit.
-# So raise the limit and RE-EXEC the interpreter once — the fresh
-# process lays out its address space under the new limit.
+# And an unlimited GROWING main stack is still not enough for a LONG
+# session: after ~150 tests enough mappings accumulate that one lands in
+# the growth path and the next deep compile SIGSEGVs anyway (round-2's
+# full-suite abort at ~84%, reproduced with RLIMIT_STACK == (-1, -1)).
+# So RE-EXEC once into tests/_stack_main.py, which runs pytest on a
+# worker thread whose 1 GB stack is RESERVED up front — no growth, no
+# collision, deterministic for the whole session.
 def _is_standalone_pytest() -> bool:
     # Only re-exec when this process IS a pytest run we can faithfully
     # reconstruct as `python -m pytest <args>`: the console script
@@ -38,11 +43,7 @@ def _is_standalone_pytest() -> bool:
 
 if os.environ.get("RSPC_STACK_REEXEC") != "1":
     try:
-        import resource
-
-        _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-        if _soft != resource.RLIM_INFINITY and _is_standalone_pytest():
-            resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+        if _is_standalone_pytest():
             os.environ["RSPC_STACK_REEXEC"] = "1"
             # pytest's global capture has already dup2'd temp files onto
             # fds 1/2 by the time initial conftests import (capture.py's
@@ -62,7 +63,11 @@ if os.environ.get("RSPC_STACK_REEXEC") != "1":
                         pass
             os.execv(
                 sys.executable,
-                [sys.executable, "-m", "pytest"] + sys.argv[1:],
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(__file__), "_stack_main.py"),
+                ]
+                + sys.argv[1:],
             )
     except Exception:
         pass
@@ -83,6 +88,13 @@ if not _TPU_RUN:
             _flags + " --xla_force_host_platform_device_count=8"
         ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # Never persist-cache XLA:CPU executables: serializing the big fused
+    # pipeline programs aborts inside
+    # compilation_cache.put_executable_and_time (reproduced 2/2 on full
+    # suite runs), and that cache only pays for itself on the remote TPU
+    # compile path anyway. rspc_tpu/__init__.py also gates on
+    # JAX_PLATFORMS=cpu; this is belt-and-braces for direct jax use.
+    os.environ.setdefault("RSPC_NO_CACHE", "1")
 
 import jax  # noqa: E402
 
