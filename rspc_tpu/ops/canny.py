@@ -108,11 +108,17 @@ def _hysteresis_kernel(strong_ref, weak_ref, out_ref):
     launch overhead dominates (~30 ms for a 10-frame batch). Here every
     round's ~150 VPU ops run back to back on VMEM-resident data — the
     image never leaves the chip until the fixpoint. Bools ride as f32
-    0/1 with max/min as or/and (VPU-native select-free logic)."""
+    0/1 with max/min as or/and (VPU-native select-free logic; bf16 would
+    halve the footprint but Mosaic cannot Rotate non-32-bit data). The
+    border masks use [H,1]/[1,W] iotas broadcast in the select — two
+    full [H,W] i32 iotas held 2.4 MB live across the whole fixpoint,
+    which at 640x480 pushed the kernel within 3% of the 16 MB
+    scoped-vmem limit (and over it once the colored-ICP phase-1 program
+    added fusion pressure)."""
     h, w = strong_ref.shape
     weak = weak_ref[:]
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
 
     def shift(x, dr, dc):
         # out[r, c] = x[r + dr, c + dc], zero-filled (shift2d semantics);
@@ -156,6 +162,16 @@ def _hysteresis_kernel(strong_ref, weak_ref, out_ref):
 def _hysteresis_pallas(
     strong: jnp.ndarray, weak: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
+    # The whole-frame fixpoint plus its operands sits just past the
+    # default 16 MB scoped-vmem budget at 640x480 (measured 16.51 MB
+    # once the colored-ICP phase-1 program added fusion pressure);
+    # declare the real requirement — v5e has 128 MB of VMEM and this
+    # kernel runs alone while the serial fixpoint iterates.
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        )
     out = pl.pallas_call(
         _hysteresis_kernel,
         out_shape=jax.ShapeDtypeStruct(strong.shape, jnp.float32),
@@ -165,6 +181,7 @@ def _hysteresis_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+        **kwargs,
     )(strong.astype(jnp.float32), weak.astype(jnp.float32))
     return out > 0.5
 
