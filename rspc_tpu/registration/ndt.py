@@ -258,9 +258,51 @@ def _matrix_to_pose(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([t[:3, 3], jnp.stack([a, b, c])])
 
 
+def _compact_cells(grid: NDTGrid, config: NDTConfig):
+    """Compact the grid's VALID cells (typically a few hundred of D^3)
+    into [C]-row tables for the dense sweep (NDTConfig.sweep_cells).
+
+    Mask-equivalence argument (dense sweep vs the widened-table gather):
+    the sweep scores point n against compact cell c when
+    ``adjacency(rel0_n, cellco_c) & within_radius & cell_valid`` — the
+    gather path scores (n, offset j) when ``in_bounds(rel0_n + off_j) &
+    cell_valid & within_radius``. For every in-bounds neighbor the two
+    enumerate the same (point, cell) pairs: adjacency(rel0, co) holds
+    iff co = rel0 + off_j for some offset j of the neighborhood, and a
+    compact cell IS an in-bounds cell. Out-of-bounds offsets gather
+    zeroed stats and are masked in both paths. So the two paths are the
+    same masked sum, differing only in fp reduction order. Valid cells
+    beyond the C cap are DROPPED (documented in NDTConfig; size the cap
+    to the scene)."""
+    d = config.dense_grid_dim
+    c_cap = config.sweep_cells
+    # valid cells first (stable, so cell-index order within each class)
+    order = jnp.argsort(
+        jnp.where(grid.valid, 0, 1).astype(jnp.int32), stable=True
+    )
+    sel = order[:c_cap]
+    mu_c = jnp.take(grid.means, sel, axis=0)      # [C,3]
+    icg = jnp.take(grid.inv_covs, sel, axis=0)    # [C,3,3]
+    ic6_c = jnp.stack(
+        [
+            icg[:, 0, 0], icg[:, 0, 1], icg[:, 0, 2],
+            icg[:, 1, 1], icg[:, 1, 2], icg[:, 2, 2],
+        ],
+        axis=-1,
+    )  # [C,6]
+    valid_c = jnp.take(grid.valid, sel, axis=0)   # [C]
+    cellco = jnp.stack(
+        [sel // (d * d), (sel // d) % d, sel % d], axis=-1
+    ).astype(jnp.int32)  # [C,3] grid-relative cell coords
+    return mu_c, ic6_c, valid_c, cellco
+
+
 def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None):
     """Returns f(p) = -score(p): minimized by Newton. One [N,k] gather +
-    quadratic-form + exp sweep, fully fused."""
+    quadratic-form + exp sweep, fully fused — or, with
+    ``config.sweep_cells > 0``, a gather-free dense [N x C] sweep over
+    the compacted valid cells (same math, same frozen-neighborhood
+    semantics; see _compact_cells)."""
     d1, d2 = _gauss_coeffs(config)
     res = config.resolution
     xyz, valid = src.xyz, src.valid
@@ -289,70 +331,111 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None
 
     d = config.dense_grid_dim
 
-    # Per-cell stats packed into ONE [G,10] row — mean(3), the 6 unique
-    # symmetric inverse-covariance components, validity(1) — so the
-    # neighborhood query below is a single gather instead of three
-    # (means + inv_covs + valid). The pack is loop-invariant and XLA
-    # hoists it out of the Newton while_loop; the gather was measured as
-    # the most expensive part of one Newton iteration (tools/roofline.py).
-    icg = grid.inv_covs
-    packed = jnp.concatenate(
-        [
-            grid.means,
-            icg[:, 0, 0:3],   # i00 i01 i02
-            icg[:, 1, 1:3],   # i11 i12
-            icg[:, 2, 2:3],   # i22
-            grid.valid.astype(xyz.dtype)[:, None],
-        ],
-        axis=1,
-    )
+    if config.sweep_cells > 0:
+        # ---- dense compact-cell sweep: ZERO gathers in the Newton loop.
+        # The roofline named the per-iteration neighborhood row gather as
+        # the Newton stage's floor (~1.1 ms latency-bound at n=4096
+        # rows) while the whole evaluation is ~3 MFLOP. With the valid
+        # cells compacted to C rows ONCE per align (pose-independent;
+        # XLA hoists it out of the while_loop), score/derivatives become
+        # a dense [N x C] broadcast-mask-reduce — pure VPU streaming the
+        # MXU-fed gram matmul consumes, the same shape discipline as the
+        # Pallas NN sweep. Masking below reproduces the gather path's
+        # (point, cell) pairs exactly (proof: _compact_cells docstring).
+        mu_cells, ic6_cells, valid_cells, cellco = _compact_cells(
+            grid, config
+        )
+        vcell = valid_cells[None, :]  # [1,C]
 
-    # Widened neighbor table: column block j holds packed[g + flat(off_j)]
-    # via a roll. flat((x,y,z)) = (x*d + y)*d + z is LINEAR in the cell
-    # coords, so flat(center + off) = flat(center) + flat(off) as plain
-    # integers, and the per-(point, offset) gather collapses to ONE row
-    # gather per point — TPU row gathers are latency-bound per ROW, so k
-    # fewer rows is ~k-fold cheaper (measured 1.12 ms for the [N*k]-row
-    # form at N=4096, k=7). The roll's mod-G wraparound at grid faces
-    # aliases rows exactly where a per-dimension bound is crossed, and
-    # ``in_b`` below masks exactly those. Pose-independent: XLA hoists
-    # the build out of the Newton while_loop.
-    g_cells = d * d * d
-    flat_offs = [int((o[0] * d + o[1]) * d + o[2]) for o in offs_np]
-    wide = jnp.concatenate(
-        [jnp.roll(packed, -f, axis=0) for f in flat_offs], axis=1
-    )  # [G, k*10]
+        def lookup(p):
+            """Dense 'lookup': no memory indirection at all — returns
+            the (loop-invariant) compact tables plus the [N,C] mask at
+            pose p. Frozen-neighborhood semantics are unchanged: the
+            Newton body calls this once per iteration and the line
+            search differentiates against the frozen mask."""
+            t = _pose_to_matrix(p)
+            pts = apply_transform(t, xyz)
+            rel0 = jnp.floor(pts / res).astype(jnp.int32) - grid.origin
+            diff = jnp.abs(cellco[None, :, :] - rel0[:, None, :])  # [N,C,3]
+            if config.neighborhood == 27:
+                adj = jnp.all(diff <= 1, axis=-1)
+            elif config.neighborhood == 7:
+                adj = jnp.sum(diff, axis=-1) <= 1
+            else:
+                adj = jnp.all(diff == 0, axis=-1)
+            x = pts[:, None, :] - mu_cells[None, :, :]  # [N,C,3]
+            within = jnp.sum(x * x, axis=-1) <= res * res
+            mask = (adj & within & vcell).astype(xyz.dtype) * w_src[:, None]
+            return mu_cells, ic6_cells, mask
 
-    def lookup(p):
-        """Neighborhood query at pose p: per (point, offset) the voxel
-        Gaussian params (mu [N,k,3], unique inv-cov components ic6
-        [N,k,6]) and a hit mask. TPU gathers are the expensive part
-        of the NDT evaluation, so the Newton loop calls this ONCE per
-        iteration (one widened-table row per point) and differentiates
-        the gather-free objective below with the neighborhood frozen —
-        the same granularity at which PCL fixes its radiusSearch results
-        per computeDerivatives call."""
-        t = _pose_to_matrix(p)
-        pts = apply_transform(t, xyz)
-        coords = jnp.floor(pts / res).astype(jnp.int32)  # [N,3]
-        rel0 = coords - grid.origin  # [N,3] center cell
-        rel = rel0[:, None, :] + offs[None, :, :]  # [N,k,3]
-        in_b = jnp.all((rel >= 0) & (rel < d), axis=-1)
-        base = (rel0[:, 0] * d + rel0[:, 1]) * d + rel0[:, 2]
-        # mod matches the roll's wraparound: (base % G + flat_off) % G is
-        # the rolled row for flat(center)+flat(off), which equals the
-        # true neighbor index whenever in_b holds. Non-hit entries gather
-        # a real cell's (finite, zeroed-if-invalid) stats and are zeroed
-        # by ``mask`` — no NaN can enter the masked exp.
-        base = jnp.mod(base, g_cells)
-        row = jnp.take(wide, base, axis=0).reshape(-1, k, 10)  # [N,k,10]
-        mu = row[..., 0:3]
-        ic6 = row[..., 3:9]
-        hit = in_b & (row[..., 9] > 0.5)
-        x = pts[:, None, :] - mu  # [N,k,3]
-        within = jnp.sum(x * x, axis=-1) <= res * res  # radiusSearch(res)
-        mask = (hit & within).astype(xyz.dtype) * w_src[:, None]
-        return mu, ic6, mask
+    else:
+        lookup = None  # widened-table gather path, built below
+
+    if lookup is None:
+        # Per-cell stats packed into ONE [G,10] row — mean(3), the 6 unique
+        # symmetric inverse-covariance components, validity(1) — so the
+        # neighborhood query below is a single gather instead of three
+        # (means + inv_covs + valid). The pack is loop-invariant and XLA
+        # hoists it out of the Newton while_loop; the gather was measured as
+        # the most expensive part of one Newton iteration (tools/roofline.py).
+        icg = grid.inv_covs
+        packed = jnp.concatenate(
+            [
+                grid.means,
+                icg[:, 0, 0:3],   # i00 i01 i02
+                icg[:, 1, 1:3],   # i11 i12
+                icg[:, 2, 2:3],   # i22
+                grid.valid.astype(xyz.dtype)[:, None],
+            ],
+            axis=1,
+        )
+
+        # Widened neighbor table: column block j holds packed[g + flat(off_j)]
+        # via a roll. flat((x,y,z)) = (x*d + y)*d + z is LINEAR in the cell
+        # coords, so flat(center + off) = flat(center) + flat(off) as plain
+        # integers, and the per-(point, offset) gather collapses to ONE row
+        # gather per point — TPU row gathers are latency-bound per ROW, so k
+        # fewer rows is ~k-fold cheaper (measured 1.12 ms for the [N*k]-row
+        # form at N=4096, k=7). The roll's mod-G wraparound at grid faces
+        # aliases rows exactly where a per-dimension bound is crossed, and
+        # ``in_b`` below masks exactly those. Pose-independent: XLA hoists
+        # the build out of the Newton while_loop.
+        g_cells = d * d * d
+        flat_offs = [int((o[0] * d + o[1]) * d + o[2]) for o in offs_np]
+        wide = jnp.concatenate(
+            [jnp.roll(packed, -f, axis=0) for f in flat_offs], axis=1
+        )  # [G, k*10]
+
+        def lookup(p):
+            """Neighborhood query at pose p: per (point, offset) the voxel
+            Gaussian params (mu [N,k,3], unique inv-cov components ic6
+            [N,k,6]) and a hit mask. TPU gathers are the expensive part
+            of the NDT evaluation, so the Newton loop calls this ONCE per
+            iteration (one widened-table row per point) and differentiates
+            the gather-free objective below with the neighborhood frozen —
+            the same granularity at which PCL fixes its radiusSearch results
+            per computeDerivatives call."""
+            t = _pose_to_matrix(p)
+            pts = apply_transform(t, xyz)
+            coords = jnp.floor(pts / res).astype(jnp.int32)  # [N,3]
+            rel0 = coords - grid.origin  # [N,3] center cell
+            rel = rel0[:, None, :] + offs[None, :, :]  # [N,k,3]
+            in_b = jnp.all((rel >= 0) & (rel < d), axis=-1)
+            base = (rel0[:, 0] * d + rel0[:, 1]) * d + rel0[:, 2]
+            # mod matches the roll's wraparound: (base % G + flat_off) % G is
+            # the rolled row for flat(center)+flat(off), which equals the
+            # true neighbor index whenever in_b holds. Non-hit entries gather
+            # a real cell's (finite, zeroed-if-invalid) stats and are zeroed
+            # by ``mask`` — no NaN can enter the masked exp.
+            base = jnp.mod(base, g_cells)
+            row = jnp.take(wide, base, axis=0).reshape(-1, k, 10)  # [N,k,10]
+            mu = row[..., 0:3]
+            ic6 = row[..., 3:9]
+            hit = in_b & (row[..., 9] > 0.5)
+            x = pts[:, None, :] - mu  # [N,k,3]
+            within = jnp.sum(x * x, axis=-1) <= res * res  # radiusSearch(res)
+            mask = (hit & within).astype(xyz.dtype) * w_src[:, None]
+            return mu, ic6, mask
 
     def _rot_of(ang):
         return (
@@ -373,10 +456,14 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None
     # Every moment the gradient/Hessian needs has the form
     #   sum_{n,k} channel_c(n,k) * basis_b(n),
     # channels = [expt, w*Be (3), w*(d2 BeBe^T - B) (6 unique)] and
-    # basis = [1, x (3), xx^T (6 unique)] — so ALL of them are one
-    # [10, N*k] x [N*k, 10] gram matmul (contraction over the long axis
-    # on the MXU, f32-HIGHEST), followed by constant-size [3,..]
-    # contractions against the rotation-derivative tensors.
+    # basis = [1, x (3), xx^T (6 unique)]. The basis depends on n ONLY,
+    # so each channel reduces over the neighbor/cell axis FIRST (an
+    # elementwise-producer reduce XLA fuses into one pass — crucial for
+    # the dense [N x C] sweep, where a [10, N*C] operand would
+    # materialize tens of MB), then ALL moments are one
+    # [10, N] x [N, 10] gram matmul (MXU, f32-HIGHEST), followed by
+    # constant-size [3,..] contractions against the rotation-derivative
+    # tensors.
 
     _sym = ((0, 1, 2), (1, 3, 4), (2, 4, 5))  # (i,j) -> unique-pair slot
 
@@ -402,17 +489,16 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None
         dr = jax.jacfwd(_rot_of)(p[3:6])  # [3,3,3] constant-size
         return dr
 
-    def _basis_cols(shape_nk, quadratic):
-        """[N,k,c] basis stack: 1, x, (xx^T unique if quadratic) —
-        broadcast over the neighbor axis (basis depends on n only)."""
+    def _basis_cols(quadratic):
+        """[N,c] basis stack: 1, x, (xx^T unique if quadratic) — one row
+        per POINT (channels reduce over the neighbor/cell axis before
+        meeting the basis)."""
         x0, x1, x2 = _split(xyz)
-        cols = [jnp.ones(shape_nk, xyz.dtype)]
-        bs = [jnp.broadcast_to(x[:, None], shape_nk) for x in (x0, x1, x2)]
-        cols += bs
+        cols = [jnp.ones_like(x0), x0, x1, x2]
         if quadratic:
             cols += [
-                bs[0] * bs[0], bs[0] * bs[1], bs[0] * bs[2],
-                bs[1] * bs[1], bs[1] * bs[2], bs[2] * bs[2],
+                x0 * x0, x0 * x1, x0 * x2,
+                x1 * x1, x1 * x2, x2 * x2,
             ]
         return jnp.stack(cols, axis=-1)
 
@@ -429,16 +515,22 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None
         """(f, df/dp) in ONE streaming pass — analytic chain rule through
         the per-point map x'(p) = R(ang) x + t (PCL computeDerivatives'
         structure: point-independent angular derivative tensors applied
-        per point). One [4, N*k] x [N*k, 4] gram matmul carries the f /
-        translational / rotational moments together."""
+        per point). Channels reduce over the neighbor/cell axis, then one
+        [4, N] x [N, 4] gram matmul carries the f / translational /
+        rotational moments together."""
         (be0, be1, be2), _, expt = _common(p, mu, ic6, mask)
         w = d1 * d2 * expt
-        ch = jnp.stack([expt, w * be0, w * be1, w * be2])  # [4,N,k]
-        basis = _basis_cols(expt.shape, quadratic=False)   # [N,k,4]
+        ch = jnp.stack(
+            [
+                jnp.sum(expt, axis=-1),
+                jnp.sum(w * be0, axis=-1),
+                jnp.sum(w * be1, axis=-1),
+                jnp.sum(w * be2, axis=-1),
+            ]
+        )  # [4,N]
+        basis = _basis_cols(quadratic=False)  # [N,4]
         mm = jax.lax.dot(
-            ch.reshape(4, -1),
-            basis.reshape(-1, 4),
-            precision=jax.lax.Precision.HIGHEST,
+            ch, basis, precision=jax.lax.Precision.HIGHEST
         )
         f = d1 * mm[0, 0]
         g_t = -mm[1:4, 0]
@@ -454,33 +546,31 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None
         """(f, grad[6], hess[6,6]) in one pass (Magnusson 2009 eq. 6.12-
         6.13 structure): per-point closed-form gradient/Hessian in x'
         chained through J = [I | dR x] plus the second-order rotation
-        term. One [10, N*k] x [N*k, 10] gram matmul yields every moment:
-        row 0 = expt (f), rows 1-3 = w*Be (gradient), rows 4-9 = the 6
-        unique components of w*(d2 BeBe^T - B) (Hessian); col 0 = plain
-        sums, cols 1-3 = first moments vs x, cols 4-9 = second moments
-        vs the unique xx^T products."""
+        term. Channels reduce over the neighbor/cell axis, then one
+        [10, N] x [N, 10] gram matmul yields every moment: row 0 = expt
+        (f), rows 1-3 = w*Be (gradient), rows 4-9 = the 6 unique
+        components of w*(d2 BeBe^T - B) (Hessian); col 0 = plain sums,
+        cols 1-3 = first moments vs x, cols 4-9 = second moments vs the
+        unique xx^T products."""
         (be0, be1, be2), ii, expt = _common(p, mu, ic6, mask)
         i00, i01, i02, i11, i12, i22 = ii
-        w = d1 * d2 * expt  # [N,k]
-        ch = jnp.stack(
-            [
-                expt,
-                w * be0,
-                w * be1,
-                w * be2,
-                w * (d2 * be0 * be0 - i00),
-                w * (d2 * be0 * be1 - i01),
-                w * (d2 * be0 * be2 - i02),
-                w * (d2 * be1 * be1 - i11),
-                w * (d2 * be1 * be2 - i12),
-                w * (d2 * be2 * be2 - i22),
-            ]
-        )  # [10,N,k]
-        basis = _basis_cols(expt.shape, quadratic=True)  # [N,k,10]
+        w = d1 * d2 * expt  # [N,k] or [N,C]; mask rides in via expt
+        chans = (
+            expt,
+            w * be0,
+            w * be1,
+            w * be2,
+            w * (d2 * be0 * be0 - i00),
+            w * (d2 * be0 * be1 - i01),
+            w * (d2 * be0 * be2 - i02),
+            w * (d2 * be1 * be1 - i11),
+            w * (d2 * be1 * be2 - i12),
+            w * (d2 * be2 * be2 - i22),
+        )
+        ch = jnp.stack([jnp.sum(c, axis=-1) for c in chans])  # [10,N]
+        basis = _basis_cols(quadratic=True)  # [N,10]
         mm = jax.lax.dot(
-            ch.reshape(10, -1),
-            basis.reshape(-1, 10),
-            precision=jax.lax.Precision.HIGHEST,
+            ch, basis, precision=jax.lax.Precision.HIGHEST
         )  # [10,10]
 
         sym = np.asarray(_sym)
