@@ -42,26 +42,40 @@ def main():
     yaw_step = -0.08
     log(f"platform: {jax.devices()[0]}")
 
-    # On-chip correctness proof for the compiled Pallas NN kernel
-    # (ops/nn_check.py): all adversarial cases share one shape, so this
-    # costs a single (cached) kernel compile. Recorded in the JSON line.
-    nn_selfcheck = "skipped (non-tpu backend)"
-    if jax.default_backend() == "tpu":
-        from rspc_tpu.ops.nn_check import adversarial_cases, run_nn_checks
-        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+    def dispatch_floor_ms():
+        """Min round-trip cost of one trivial dispatch + 1-elem readback.
+        The axon tunnel's per-call latency varies 0.1-28 ms between
+        sessions and can transiently reach seconds; recording it makes a
+        degraded-tunnel bench run self-diagnosing."""
+        f = jax.jit(lambda x: x + 1.0)
+        x = jax.numpy.zeros((8,))
+        device_sync(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            device_sync(f(x))
+            ts.append(time.time() - t0)
+        return min(ts) * 1e3
 
-        t0 = time.time()
-        fails = run_nn_checks(
-            lambda s, sv, t, tv: nearest_neighbors_pallas(s, sv, t, tv)
-        )
-        n_cases = len(adversarial_cases())
-        nn_selfcheck = (
-            f"ok ({n_cases} cases)" if not fails else "FAIL: " + "; ".join(fails)
-        )
+    # Probe the tunnel BEFORE doing anything expensive: BENCH_r02 spent
+    # 551 s total (478 s on one kernel compile, 19 s rendering) because
+    # the whole session ran inside a degraded-tunnel episode (floor
+    # 48.5 ms/call vs the usual 0.1-2). Waiting an episode out up front
+    # is cheaper than inflating every stage below — but bounded: some
+    # sessions sit at a 50-60 ms floor for their whole lifetime (and
+    # still hit the wall target; the floor hurts compiles and renders,
+    # not the fused-program metric), so two short waits, then proceed.
+    floor_ms = dispatch_floor_ms()
+    for _ in range(2):
+        if floor_ms < 20.0:
+            break
         log(
-            f"pallas NN on-chip selfcheck: {nn_selfcheck} "
-            f"({time.time()-t0:.1f}s)"
+            f"tunnel degraded (dispatch floor {floor_ms:.1f} ms/call) "
+            "-- sleeping 60s before proceeding"
         )
+        time.sleep(60)
+        floor_ms = dispatch_floor_ms()
+    log(f"trivial-dispatch floor: {floor_ms:.2f} ms/call")
 
     seq = SyntheticSequence(
         n_frames=n_frames, yaw_step=yaw_step, intr=Intrinsics.simple(640, 480)
@@ -86,21 +100,6 @@ def main():
     scheme, result = run()
     log(f"warmup (incl. compile): {time.time()-t0:.2f}s")
 
-    def dispatch_floor_ms():
-        """Min round-trip cost of one trivial dispatch + 1-elem readback.
-        The axon tunnel's per-call latency varies 0.1-28 ms between
-        sessions and can transiently reach seconds; recording it makes a
-        degraded-tunnel bench run self-diagnosing."""
-        f = jax.jit(lambda x: x + 1.0)
-        x = jax.numpy.zeros((8,))
-        device_sync(f(x))
-        ts = []
-        for _ in range(5):
-            t0 = time.time()
-            device_sync(f(x))
-            ts.append(time.time() - t0)
-        return min(ts) * 1e3
-
     # Timed steady-state runs (min of several: the axon tunnel to the
     # chip adds multi-hundred-ms jitter between invocations). The tunnel
     # also has transient degraded episodes where EVERY round trip costs
@@ -108,8 +107,6 @@ def main():
     # at 0.28 s minutes later) — if the best run misses the 1 s target,
     # wait out the episode and re-measure rather than recording it.
     times = []
-    floor_ms = dispatch_floor_ms()
-    log(f"trivial-dispatch floor: {floor_ms:.2f} ms/call")
     for attempt in range(3):
         for i in range(4):
             t0 = time.time()
@@ -125,6 +122,30 @@ def main():
         )
         time.sleep(90)
     value = min(times)
+
+    # On-chip correctness proof for the compiled Pallas NN kernel
+    # (ops/nn_check.py): all adversarial cases share one shape, so this
+    # costs ONE kernel compile (~1 s from the persistent cache, ~40 s
+    # cold through the tunnel) + 9 dispatches. Runs AFTER the timed
+    # section so a degraded-tunnel compile can never inflate the metric
+    # path; recorded in the JSON line either way.
+    nn_selfcheck = "skipped (non-tpu backend)"
+    if jax.default_backend() == "tpu":
+        from rspc_tpu.ops.nn_check import adversarial_cases, run_nn_checks
+        from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
+
+        t0 = time.time()
+        fails = run_nn_checks(
+            lambda s, sv, t, tv: nearest_neighbors_pallas(s, sv, t, tv)
+        )
+        n_cases = len(adversarial_cases())
+        nn_selfcheck = (
+            f"ok ({n_cases} cases)" if not fails else "FAIL: " + "; ".join(fails)
+        )
+        log(
+            f"pallas NN on-chip selfcheck: {nn_selfcheck} "
+            f"({time.time()-t0:.1f}s)"
+        )
 
     # Accuracy vs ground truth (composed coarse+fine+refine transforms)
     totals = np.asarray(scheme.total_transforms)

@@ -13,10 +13,12 @@ that run against the real TPU lowering (VERDICT r1 #6):
   * source/target sizes exactly at and just past the tile boundaries
 
 All cases share ONE (N_CAP, M_CAP) shape so a single kernel compile
-serves the whole suite — the check adds ~no time to bench.py, which runs
-it on the real chip before timing and records the result in its JSON
-line. Truth is float64 NumPy brute force; indices may differ only where
-the distance is an exact tie.
+serves the whole suite: with the persistent compile cache warm the check
+costs ~1 s; a cold compile through the axon tunnel costs ~40 s (and a
+degraded-tunnel episode can multiply that — BENCH_r02 logged 478 s), so
+bench.py runs it AFTER the timed section and probes tunnel health first.
+Truth is float64 NumPy brute force; indices may differ only where the
+distance is an exact tie.
 """
 
 from __future__ import annotations
