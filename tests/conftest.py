@@ -109,3 +109,23 @@ def pytest_sessionstart(session):
         return
     assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
     assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in one
+    process; at ~84% the NEXT big fused-pipeline compile reproducibly
+    segfaults inside backend_compile_and_load — with RLIMIT_STACK
+    unlimited AND on a 1 GB pre-reserved thread stack, so it is
+    accumulated jaxlib/XLA:CPU process state, not stack depth, that
+    poisons it (the same test passes in a fresh process). Clearing the
+    jit caches per module keeps the executable population small. Costs
+    recompiles for cross-module shared shapes; correctness is unaffected
+    (caches are pure memoization)."""
+    yield
+    jax.clear_caches()
