@@ -65,6 +65,23 @@ def scenarios():
             },
             "mild noise + partial overlap + 30% texture",
         ),
+        # Out-and-back sweep: frames 6-9 RE-OBSERVE the views of frames
+        # 4-1 — genuine loop-closure structure. Guesses come from the
+        # (synthetic) IMU exactly as the reference's IMU path would; the
+        # graph column adds the equal-yaw closure pairs as skip
+        # constraints. This is the trajectory shape the r2 analysis said
+        # the pose graph needs to pay off (RESULTS.md: 'would pay off
+        # given loop closures ... a trajectory shape the capture
+        # contract never produces').
+        "loop_return": (
+            {
+                "noise": heavy,
+                "yaw_schedule": tuple(
+                    -0.15 * y for y in (0, 1, 2, 3, 4, 5, 4, 3, 2, 1)
+                ),
+            },
+            "heavy noise, out-and-back yaw sweep (loop closures)",
+        ),
     }
 
 
@@ -107,6 +124,26 @@ def main():
         device_sync(clouds[-1].xyz)
         gts = [seq.gt_transform(i) for i in range(1, n_frames)]
 
+        # Scheduled (non-linear) trajectories feed the schemes their
+        # IMU-derived thetas — the reference's own guess path for real
+        # motion; the static accumulated-rads guess models a constant
+        # turntable and is simply wrong on e.g. an out-and-back sweep.
+        if "yaw_schedule" in kw:
+            guess_kw = {"thetas": seq.thetas()}
+            # closure skip offsets: frame pairs that re-observe the same
+            # yaw (plus the default short skips)
+            yaws = kw["yaw_schedule"]
+            closure = {
+                j - i
+                for i in range(n_frames)
+                for j in range(i + 1, n_frames)
+                if abs(yaws[i] - yaws[j]) < 1e-9
+            }
+            graph_skips = tuple(sorted({1, 2, 3} | closure))
+        else:
+            guess_kw = {"rads": yaw}
+            graph_skips = None
+
         def err_of(totals, gts_n):
             t = np.asarray(totals)
             errs = [np.abs(t[i] - gts_n[i]).max() for i in range(len(gts_n))]
@@ -128,7 +165,7 @@ def main():
             t0 = time.time()
             try:
                 if scheme_name == "ndt_edge":
-                    s = NDTEdgeBasedRegistration(rads=yaw, config=config)
+                    s = NDTEdgeBasedRegistration(config=config, **guess_kw)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_map":
                     # progressive map anchoring (anchor_mode="map"):
@@ -136,7 +173,7 @@ def main():
                     # carry-over — the structural fix for trajectories
                     # that rotate away from frame 0
                     cfg_m = robust_config(anchor_mode="map")
-                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_m)
+                    s = NDTEdgeBasedRegistration(config=cfg_m, **guess_kw)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_color":
                     # map anchoring + the colored-ICP residual in the
@@ -145,7 +182,7 @@ def main():
                     # 'combined' drift wall — fine-cap edge inliers
                     # collapse and p2l refuses to move along the wall)
                     cfg_c = robust_config(anchor_mode="map", color=True)
-                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_c)
+                    s = NDTEdgeBasedRegistration(config=cfg_c, **guess_kw)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_rescue":
                     # warm start + gated wide-cap rescue: the warm start
@@ -162,7 +199,16 @@ def main():
                     # instead of integrating it (the measured 'combined'
                     # failure shape)
                     cfg_g = robust_config(anchor_mode="map", pose_graph=True)
-                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_g)
+                    if graph_skips is not None:
+                        import dataclasses
+
+                        cfg_g = dataclasses.replace(
+                            cfg_g,
+                            refine=dataclasses.replace(
+                                cfg_g.refine, pose_graph_skips=graph_skips
+                            ),
+                        )
+                    s = NDTEdgeBasedRegistration(config=cfg_g, **guess_kw)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_warm":
                     # coarse_warm_start carries the previous pair's
@@ -176,10 +222,10 @@ def main():
                     cfg_w = dataclasses.replace(
                         robust_config(), rescue_inlier_frac=0.0
                     )
-                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_w)
+                    s = NDTEdgeBasedRegistration(config=cfg_w, **guess_kw)
                     r = s.registration(clouds)
                 elif scheme_name == "icp_edge":
-                    s = ICPEdgeBasedRegistration(rads=yaw, config=config)
+                    s = ICPEdgeBasedRegistration(config=config, **guess_kw)
                     r = s.registration(clouds)
                 else:
                     import dataclasses

@@ -190,7 +190,16 @@ class SyntheticSequence:
         starves the RGB-Canny edge extractor);
       * ``translation_step`` — per-frame camera translation in world
         coords (combined with yaw_step this produces partial-overlap
-        pairs instead of pure rotation about a fixed center)."""
+        pairs instead of pure rotation about a fixed center);
+      * ``yaw_schedule`` — explicit per-frame absolute yaw angles (rad),
+        overriding the linear ``i * yaw_step`` ramp. An out-and-back
+        schedule (0, s, 2s, 3s, 2s, s, 0, ...) makes late frames
+        RE-OBSERVE early views — the loop-closure structure a pose-graph
+        solver needs and which a forward-sweeping turntable never
+        produces (RESULTS.md r2: the pose graph could only tie `map`
+        because every skip-pair was blind along the same directions).
+        The IMU stream stays consistent (per-interval gyro rates from
+        the yaw differences)."""
 
     n_frames: int = 4
     yaw_step: float = -0.2  # rad per frame, about the camera y axis
@@ -199,6 +208,10 @@ class SyntheticSequence:
     noise: DepthNoise | None = None
     texture_contrast: float = 1.0
     translation_step: tuple = (0.0, 0.0, 0.0)
+    yaw_schedule: tuple | None = None
+    # explicit per-frame world-position offsets [n_frames][3], overriding
+    # the linear i * translation_step ramp (out-and-back trajectories)
+    translation_schedule: tuple | None = None
 
     def __post_init__(self):
         c = ROOM / 2.0
@@ -208,15 +221,32 @@ class SyntheticSequence:
         # at mid-room height sees walls only, which leaves registration
         # unconstrained in t_y for plane-based solvers
         base[:3, 3] = [c, 1.2, c]
+        if self.yaw_schedule is not None:
+            if len(self.yaw_schedule) != self.n_frames:
+                raise ValueError(
+                    f"yaw_schedule needs {self.n_frames} entries, got "
+                    f"{len(self.yaw_schedule)}"
+                )
+            self.yaws = [float(y) for y in self.yaw_schedule]
+        else:
+            self.yaws = [i * self.yaw_step for i in range(self.n_frames)]
         self.poses = []
         step = np.asarray(self.translation_step, np.float32)
-        for i in range(self.n_frames):
-            ry = np.asarray(
-                rotation_matrix(jnp.float32(i * self.yaw_step), 1)
-            )
+        if self.translation_schedule is not None:
+            if len(self.translation_schedule) != self.n_frames:
+                raise ValueError(
+                    f"translation_schedule needs {self.n_frames} entries"
+                )
+            offsets = [
+                np.asarray(t, np.float32) for t in self.translation_schedule
+            ]
+        else:
+            offsets = [i * step for i in range(self.n_frames)]
+        for i, yaw in enumerate(self.yaws):
+            ry = np.asarray(rotation_matrix(jnp.float32(yaw), 1))
             p = base.copy()
             p[:3, :3] = base[:3, :3] @ ry
-            p[:3, 3] = base[:3, 3] + i * step
+            p[:3, 3] = base[:3, 3] + offsets[i]
             self.poses.append(p)
 
     def gt_transform(self, i: int) -> np.ndarray:
@@ -263,10 +293,18 @@ class SyntheticSequence:
         accel event, mirroring get_theta() after processing both samples).
         """
         kinds, data, ts = [], [], []
-        omega = self.yaw_step / 2.0
+        # per-interval rates from the yaw differences (constant
+        # yaw_step/2 on the default linear ramp); omega_0 uses the first
+        # interval's rate — it cancels in the theta DIFFERENCES the
+        # guess path consumes
+        steps = [
+            b - a for a, b in zip(self.yaws[:-1], self.yaws[1:])
+        ] or [0.0]
+        diffs = [steps[0]] + steps
         t = 1000.0
         snap = []
-        for _ in range(self.n_frames):
+        for i in range(self.n_frames):
+            omega = diffs[i] / 2.0
             kinds.append(GYRO)
             data.append([0.0, omega, 0.0])
             ts.append(t)

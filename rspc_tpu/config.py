@@ -166,6 +166,13 @@ class EdgeConfig:
     )
     # Static capacity of the compacted edge cloud (TPU knob):
     max_edge_points: int = 16384
+    # Carry tangent-plane intensity gradients (ops/colorgrad.py) on the
+    # edge cloud, enabling the colored-ICP residual in edge-cloud stages
+    # whose ICPConfig.color_weight > 0 (RGB canny edges are exactly the
+    # high-gradient pixels, so the signal is strongest here). Costs the
+    # gradient field's image-space passes in phase 1 plus 3 floats/point
+    # on the edge cloud.
+    carry_cgrad: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,18 +164,19 @@ def extract_organized_edges(
 ) -> jnp.ndarray:
     """Full 5-class edge labeling. Returns ``labels i32[H,W]`` with the
     LABEL_* codes (PCL: compute(labels, label_indices))."""
-    labels, _ = _organized_edges_with_normals(cloud, config)
+    labels, _, _ = _organized_edges_with_normals(cloud, config)
     return labels
 
 
 def _organized_edges_with_normals(
     cloud: OrganizedCloud, config: EdgeConfig
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Labels plus the normal image the high-curvature stage already
-    computes (reused by extract_edge_features so edge clouds carry normals
-    at zero extra cost). Classes absent from ``config.edge_types`` are
-    skipped entirely (PCL setEdgeType analog) — their image sweeps never
-    enter the program."""
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Labels plus the normal image (and its validity mask) the
+    high-curvature stage already computes (reused by
+    extract_edge_features so edge clouds carry normals at zero extra
+    cost). Classes absent from ``config.edge_types`` are skipped
+    entirely (PCL setEdgeType analog) — their image sweeps never enter
+    the program."""
     types = frozenset(config.edge_types)
     want_depth = types & {"nan_boundary", "occluding", "occluded"}
 
@@ -210,7 +211,7 @@ def _organized_edges_with_normals(
             intensity, config.canny_low_threshold, config.canny_high_threshold
         )
         labels = jnp.where(rgb_edge & cloud.valid, LABEL_RGB_CANNY, labels)
-    return labels, normals
+    return labels, normals, n_valid
 
 
 @partial(jax.jit, static_argnames=("config", "label", "capacity"))
@@ -252,7 +253,7 @@ def extract_edge_features(
     a [H*W, 10] payload, shuffle-gathered it, and unpacked by column
     slices — the narrow lane dimension made those slices ~17 ms/frame of
     pure re-layout DMA.)"""
-    labels, normals = _organized_edges_with_normals(cloud, config)
+    labels, normals, n_valid = _organized_edges_with_normals(cloud, config)
     flat = cloud.flatten()
     hw = flat.capacity
     sel = (labels.reshape(-1) == LABEL_RGB_CANNY) & flat.valid
@@ -262,10 +263,22 @@ def extract_edge_features(
     keys = jnp.where(sel, _shuffle_priority(hw), sentinel)
     order = jnp.argsort(keys)[: config.max_edge_points]
     take = lambda x: jnp.take(x, order, axis=0)
+    cgrad = None
+    if config.carry_cgrad:
+        # Tangent-plane intensity gradients at the edge pixels — RGB
+        # canny edges ARE the high-|g| subset of the image, so carrying
+        # g here is what makes the colored fine-stage residual
+        # (ICPConfig.color_weight) meaningful on edge clouds. Reuses the
+        # normal image computed above (ops/colorgrad.py).
+        from rspc_tpu.ops.colorgrad import color_gradients
+
+        cg = color_gradients(cloud, normals, n_valid)
+        cgrad = take(cg.reshape(hw, 3))
     out = Cloud(
         take(flat.xyz),
         take(flat.rgb),
         take(keys) != sentinel,
         take(normals.reshape(hw, 3)),
+        cgrad=cgrad,
     )
     return out.pad_to(config.max_edge_points)

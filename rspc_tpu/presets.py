@@ -140,11 +140,19 @@ def robust_config(
       skip-pair constraints — averages per-pair noise instead of
       integrating it.
     * ``color=True`` (opt): colored-ICP residual (Park-Zhou-Koltun;
-      ops/colorgrad.py) in the anchor stages — in-plane observability
-      for weakly-textured planar scenes where the geometric plane
-      residual is blind (the `combined` drift wall, RESULTS.md).
-      ``color_weight`` scales the photometric rows against the
-      geometric ones (intensity vs meter units; see ICPConfig).
+      ops/colorgrad.py) in the FINE chain stage — the fine stage runs as
+      point-to-plane on edge clouds carrying tangent-plane intensity
+      gradients (EdgeConfig.carry_cgrad; RGB canny edges are exactly the
+      high-gradient pixels). This adds the in-plane observability the
+      geometric plane residual lacks on weakly-textured planar scenes
+      (the `combined` drift wall: per-pair drift accumulates as fine-cap
+      edge inliers collapse — measured on-chip: fine-stage color
+      1.2e-1 -> 7.8e-2 max err with the best mean (3.0e-2); anchor-stage
+      color (RefineConfig.color, also available) reached only 9.2e-2
+      with a worse mean, and both together matched fine-only's max with
+      a worse mean). ``color_weight`` scales the photometric rows
+      against the geometric ones (intensity vs meter units; see
+      ICPConfig).
     """
     cfg = north_star_config()
     refine = cfg.refine
@@ -153,13 +161,15 @@ def robust_config(
     if pose_graph:
         refine = dataclasses.replace(refine, pose_graph=True)
     if color:
-        refine = dataclasses.replace(
-            refine,
-            color=True,
-            anchor_stages=tuple(
-                dataclasses.replace(s, color_weight=color_weight)
-                for s in refine.anchor_stages
+        cfg = dataclasses.replace(
+            cfg,
+            icp=dataclasses.replace(
+                cfg.icp,
+                variant="point_to_plane",
+                huber_delta=0.003,
+                color_weight=color_weight,
             ),
+            edge=dataclasses.replace(cfg.edge, carry_cgrad=True),
         )
     return dataclasses.replace(
         cfg,
