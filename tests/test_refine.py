@@ -1,4 +1,4 @@
-"""Tests for the beyond-reference accuracy machinery: sorted-segment
+"""Tests for the beyond-reference accuracy machinery:
 reductions, batched 3x3 eigh, conditioning-hardened point-to-plane
 solves, uniform capacity thinning, and the refine/anchor stages."""
 
@@ -19,7 +19,6 @@ from rspc_tpu.config import (
 )
 from rspc_tpu.ops.deproject import Intrinsics
 from rspc_tpu.ops.eig3 import eigh3
-from rspc_tpu.ops.segment import sorted_segment_bounds, sorted_segment_sum
 from rspc_tpu.ops.umeyama import plane_fit
 from rspc_tpu.ops.voxel import voxel_downsample
 from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
@@ -39,18 +38,6 @@ def test_eigh3_matches_numpy():
     rec = np.einsum("bij,bj,bkj->bik", v, w, v)
     assert np.abs(rec - a).max() < 1e-4
     assert (np.diff(w, axis=1) >= -1e-5).all()
-
-
-def test_sorted_segment_sum_matches_numpy():
-    rng = np.random.default_rng(1)
-    seg = np.sort(rng.integers(0, 20, 200)).astype(np.int32)
-    vals = rng.normal(size=(200, 3)).astype(np.float32)
-    starts, ends = sorted_segment_bounds(jnp.asarray(seg), 20)
-    got = np.asarray(sorted_segment_sum(jnp.asarray(vals), starts, ends))
-    for j in range(20):
-        np.testing.assert_allclose(
-            got[j], vals[seg == j].sum(axis=0), rtol=1e-4, atol=1e-5
-        )
 
 
 def test_voxel_overflow_thins_uniformly():
