@@ -31,7 +31,11 @@ from rspc_tpu.registration.anchor import _refine_step
 from rspc_tpu.registration.bufferops import _rigid_inverse
 from rspc_tpu.registration.bufferops import _stride_cloud
 from rspc_tpu.registration.bufferops import merge_append
-from rspc_tpu.registration.pairsteps import _guard_best
+from rspc_tpu.registration.pairsteps import (
+    _GUARD_MAX_POINTS,
+    _WARM_GUARD_MARGIN,
+    _guard_best,
+)
 from rspc_tpu.registration.pairsteps import _maybe_rescue
 
 

@@ -30,6 +30,35 @@ from rspc_tpu.registration.measures import _inlier_stats
 from rspc_tpu.registration.measures import _nn_sweep
 
 
+# Preference multiplier for the constant-velocity prediction inside the
+# coarse guard's hypothesis vote: the prediction wins unless a competitor
+# beats its capped-NN score by >15%. Rationale (measured on the
+# partial-overlap chain): when the coarse stage latches onto the WRONG
+# part of the accumulated target, its score lands within ~10% of the
+# good prediction's (points sit on surfaces, just the wrong ones; the
+# aliasing strengthens as the accumulated target grows). Rejecting a
+# genuine coarse improvement is cheap — the prediction is already
+# near-truth there and the fine/rescue stages close the residual — while
+# accepting an aliased pose poisons the chain, so the margin errs
+# aggressive.
+_WARM_GUARD_MARGIN = 0.85
+
+# Minimum fine-cap inlier-count growth for a fired rescue to be kept —
+# see _rescue_from's keep criterion. Noise-caused firings measure ~1.0x
+# gain, genuine local-optimum escapes 2-5x; 1.15 keeps marginal genuine
+# escapes on noisy partial-overlap scenes while still rejecting pure
+# noise drifts.
+_RESCUE_KEEP_GAIN = 1.15
+
+# Source-point budget for the coarse guard's hypothesis sweep. The guard
+# compares capped-NN MEANS of the same source under k transforms — a
+# paired comparison whose decision noise shrinks the score gap far less
+# than 1/sqrt(n) suggests — so a strided 4096-point subsample decides
+# identically while cutting the [kN x target] sweep ~2.5x (measured
+# ~36 ms of the north-star wall was guard sweeps).
+_GUARD_MAX_POINTS = 4096
+
+
 @partial(
     jax.jit,
     static_argnames=(
