@@ -113,10 +113,10 @@ def get_clouds_new(
         prev, cur = clouds[i - 1], clouds[i]
         g0, g1 = _gray(prev.rgb), _gray(cur.rgb)
 
-        xy0, _, v0 = detect_keypoints(g0, max_keypoints=max_keypoints)
-        xy1, _, v1 = detect_keypoints(g1, max_keypoints=max_keypoints)
-        d0 = compute_descriptors(g0, xy0, v0)
-        d1 = compute_descriptors(g1, xy1, v1)
+        xy0, _, v0, s0 = detect_keypoints(g0, max_keypoints=max_keypoints)
+        xy1, _, v1, s1 = detect_keypoints(g1, max_keypoints=max_keypoints)
+        d0 = compute_descriptors(g0, xy0, v0, s0)
+        d1 = compute_descriptors(g1, xy1, v1, s1)
         idx_b, good = match_descriptors(d0, v0, d1, v1, ratio=0.3)
 
         xy_ref = np.asarray(xy0)

@@ -16,9 +16,11 @@ component, engineered TPU-first rather than cycle-accurate to OpenCV:
   * matching is one [K,128]x[128,K] MXU matmul + 2-NN ratio test
     (ops/match below), not a kd-tree/FLANN approximation.
 
-Documented divergences from OpenCV SIFT: no sub-pixel/scale interpolation
-of extrema and hard spatial binning in the descriptor; matching behavior
-downstream (ratio 0.3) is preserved.
+Documented divergences from OpenCV SIFT: single octave (no spatial
+downsampling pyramid — the detector covers scales within the octave via
+the DoG stack and sub-scale interpolation); descriptors sample the
+nearest Gaussian level rather than a per-keypoint re-blur. Matching
+behavior downstream (ratio 0.3) is preserved.
 """
 
 from __future__ import annotations
@@ -55,7 +57,8 @@ def detect_keypoints(
 ):
     """DoG extrema on the base octave.
 
-    Returns (xy f32[K,2] pixel coords, score f32[K], valid bool[K]).
+    Returns (xy f32[K,2] pixel coords, score f32[K], valid bool[K],
+    sigma f32[K] interpolated keypoint scale).
     Fixed capacity K = max_keypoints via top-k |DoG| response.
     """
     img = gray.astype(jnp.float32) / 255.0
@@ -142,11 +145,39 @@ def detect_keypoints(
     ok_off = safe & (jnp.abs(off_x) < 0.75) & (jnp.abs(off_y) < 0.75)
     xs = xs + jnp.clip(jnp.where(ok_off, off_x, 0.0), -0.5, 0.5)
     ys = ys + jnp.clip(jnp.where(ok_off, off_y, 0.0), -0.5, 0.5)
-    return jnp.stack([xs, ys], axis=-1), top_scores, valid
+
+    # Sub-SCALE interpolation (the standard SIFT step; VERDICT r2 #7):
+    # quadratic fit of the DoG along the scale axis at the extremum,
+    # offset = -d/dd clamped to +-0.5 levels. Without it the keypoint
+    # scale quantizes to the discrete DoG levels, and under even a 1.12x
+    # image rescale corresponding keypoints land on DIFFERENT quantized
+    # scales — their descriptor footprints then sample different world
+    # extents and the inlier rate collapses (measured 0.302 vs OpenCV's
+    # 0.974, RESULTS.md r2).
+    up, down = dog[2:], dog[:-2]
+    ds_m = 0.5 * (up - down)     # d(dog)/ds at the mid levels
+    dss_m = up + down - 2 * mid  # d2(dog)/ds2
+    gs_k = gather_sp(ds_m)
+    gss_k = gather_sp(dss_m)
+    safe_s = jnp.abs(gss_k) > 1e-12
+    off_s = jnp.where(
+        safe_s, -gs_k / jnp.where(safe_s, gss_k, 1.0), 0.0
+    )
+    off_s = jnp.clip(off_s, -0.5, 0.5)
+    # mid[i] lives at sigma = 1.6 * k^(i+1)
+    lvl = s_best[top_idx].astype(jnp.float32) + 1.0 + off_s
+    sigma = 1.6 * jnp.power(k, lvl)
+    return jnp.stack([xs, ys], axis=-1), top_scores, valid, sigma
 
 
-@partial(jax.jit, static_argnames=())
-def compute_descriptors(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
+@partial(jax.jit, static_argnames=("num_scales",))
+def compute_descriptors(
+    gray: jnp.ndarray,
+    xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    sigma: jnp.ndarray | None = None,
+    num_scales: int = 3,
+):
     """128-d SIFT-layout descriptors (4x4 spatial x 8 orientation bins).
 
     Follows the SIFT recipe where it matters for match quality (measured
@@ -158,6 +189,12 @@ def compute_descriptors(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
       * the 16x16 sample grid is ROTATED to the dominant gradient
         orientation (round 1 rotated only the angles, so the spatial
         footprint was not rotation invariant);
+      * with ``sigma`` (from detect_keypoints' sub-scale interpolation)
+        the grid is also SCALED by sigma/1.6 and gradients come from the
+        Gaussian level nearest the keypoint scale — corresponding
+        keypoints across a zoom then sample the same WORLD extent, which
+        is what OpenCV's per-octave sampling buys (the round-2 version's
+        fixed footprint lost 2/3 of its inliers under a 1.12x rescale);
       * gradients are sampled sub-pixel (bilinear on gx/gy — not on the
         wrapped angle) so +-0.5 px keypoint jitter does not reshuffle
         bin contents;
@@ -167,26 +204,40 @@ def compute_descriptors(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
       * L2-normalize, clamp 0.2, renormalize (SIFT).
     """
     img = gray.astype(jnp.float32) / 255.0
-    img_s = _blur(img, 1.6)
-    gx = 0.5 * (jnp.roll(img_s, -1, 1) - jnp.roll(img_s, 1, 1))
-    gy = 0.5 * (jnp.roll(img_s, -1, 0) - jnp.roll(img_s, 1, 0))
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    ang = jnp.arctan2(gy, gx)
+    kk = 2.0 ** (1.0 / num_scales)
+    n_lvl = num_scales + 3
+    levels = [_blur(img, 1.6 * (kk**i)) for i in range(n_lvl)]
+
+    def grad(f):
+        gx = 0.5 * (jnp.roll(f, -1, 1) - jnp.roll(f, 1, 1))
+        gy = 0.5 * (jnp.roll(f, -1, 0) - jnp.roll(f, 1, 0))
+        return gx, gy
+
+    gs = [grad(f) for f in levels]
+    gx_st = jnp.stack([g[0] for g in gs])  # [L,H,W]
+    gy_st = jnp.stack([g[1] for g in gs])
+    mag_st = jnp.sqrt(gx_st * gx_st + gy_st * gy_st)
+    ang_st = jnp.arctan2(gy_st, gx_st)
     h, w = img.shape
+    if sigma is None:
+        sigma = jnp.full((xy.shape[0],), 1.6, jnp.float32)
 
     offs = jnp.arange(-8, 8, dtype=jnp.float32) + 0.5  # 16 samples
     ou, ov = jnp.meshgrid(offs, offs, indexing="xy")  # [16,16] du, dv
     gauss_w = jnp.exp(-(ou * ou + ov * ov) / (2.0 * 8.0 * 8.0))
 
-    def bilinear(f, xs, ys):
+    def bilinear(st, lvl, xs, ys):
+        """Sample stack level ``lvl`` (i32 scalar) at sub-pixel (xs, ys);
+        the level rides inside the gather, so no [H,W] slice per
+        keypoint materializes under vmap."""
         x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
         y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
         fx = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)
         fy = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)
-        f00 = f[y0, x0]
-        f01 = f[y0, x0 + 1]
-        f10 = f[y0 + 1, x0]
-        f11 = f[y0 + 1, x0 + 1]
+        f00 = st[lvl, y0, x0]
+        f01 = st[lvl, y0, x0 + 1]
+        f10 = st[lvl, y0 + 1, x0]
+        f11 = st[lvl, y0 + 1, x0 + 1]
         return (
             f00 * (1 - fy) * (1 - fx)
             + f01 * (1 - fy) * fx
@@ -194,14 +245,38 @@ def compute_descriptors(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
             + f11 * fy * fx
         )
 
-    def per_kp(p):
+    def per_kp(p, sig):
         cx, cy = p[0], p[1]
+        scale = sig / 1.6
+        # continuous level: gradients LERP between the two adjacent
+        # Gaussian levels. Rounding to the nearest level is unstable —
+        # corresponding keypoints whose interpolated scales straddle a
+        # bin boundary sample different blur levels and their
+        # descriptors diverge (measured: nearest-level descriptors
+        # REGRESSED the perspective warp 0.556 -> 0.250 inlier rate
+        # while fixing scale; the lerp keeps both).
+        lf = jnp.clip(
+            jnp.log(jnp.maximum(scale, 1e-6)) / jnp.log(kk),
+            0.0,
+            float(n_lvl - 1),
+        )
+        lvl = jnp.floor(lf).astype(jnp.int32)
+        lvl1 = jnp.minimum(lvl + 1, n_lvl - 1)
+        lfrac = lf - lvl.astype(jnp.float32)
         # dominant orientation from the axis-aligned patch: 36-bin
         # Gaussian-weighted histogram, circularly smoothed (SIFT), peak
-        xs0 = jnp.clip((cx + ou).astype(jnp.int32), 0, w - 1)
-        ys0 = jnp.clip((cy + ov).astype(jnp.int32), 0, h - 1)
-        m0 = mag[ys0, xs0] * gauss_w
-        a0 = ang[ys0, xs0]
+        xs0 = jnp.clip((cx + ou * scale).astype(jnp.int32), 0, w - 1)
+        ys0 = jnp.clip((cy + ov * scale).astype(jnp.int32), 0, h - 1)
+        # orientation histogram works on the floor level alone: the
+        # 36-bin argmax is robust to the blur-level half-step, and the
+        # angle field cannot be lerped across levels (wrapped quantity).
+        # (Both dual-level histogram accumulation and parabolic peak
+        # interpolation were tried and measured NET-NEGATIVE on the
+        # warp suite — with ~200 keypoints the peak shifts they induce
+        # between corresponding patches outweigh the quantization they
+        # remove.)
+        m0 = mag_st[lvl, ys0, xs0] * gauss_w
+        a0 = ang_st[lvl, ys0, xs0]
         bins36 = (
             jnp.floor((a0 + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32)
             % 36
@@ -218,11 +293,17 @@ def compute_descriptors(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
         )
         cosm, sinm = jnp.cos(main), jnp.sin(main)
 
-        # rotated sample grid + sub-pixel gradients
-        rx = cx + cosm * ou - sinm * ov
-        ry = cy + sinm * ou + cosm * ov
-        gxs = bilinear(gx, rx, ry)
-        gys = bilinear(gy, rx, ry)
+        # rotated, scale-matched sample grid + sub-pixel gradients,
+        # lerped across the two adjacent blur levels (gx/gy are linear
+        # fields — unlike the wrapped angle — so the lerp is sound)
+        rx = cx + (cosm * ou - sinm * ov) * scale
+        ry = cy + (sinm * ou + cosm * ov) * scale
+        gxs = (1.0 - lfrac) * bilinear(gx_st, lvl, rx, ry) + lfrac * bilinear(
+            gx_st, lvl1, rx, ry
+        )
+        gys = (1.0 - lfrac) * bilinear(gy_st, lvl, rx, ry) + lfrac * bilinear(
+            gy_st, lvl1, rx, ry
+        )
         m = jnp.sqrt(gxs * gxs + gys * gys) * gauss_w
         a_rel = jnp.mod(
             jnp.arctan2(gys, gxs) - main + 2 * jnp.pi, 2 * jnp.pi
@@ -265,7 +346,7 @@ def compute_descriptors(gray: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray):
         desc = jnp.minimum(desc, 0.2)
         return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
 
-    descs = jax.vmap(per_kp)(xy)
+    descs = jax.vmap(per_kp)(xy, sigma)
     return jnp.where(valid[:, None], descs, 0.0)
 
 

@@ -10,8 +10,10 @@ floor so regressions in ops/keypoints.py fail loudly:
   /root/reference/src/capture_opencv.hpp:62-72);
 * 8 deg rotation: the rotated descriptor grid must keep producing
   correct matches (the round-1 axis-aligned descriptor produced ZERO);
-* scale: below OpenCV (no sub-scale interpolation — documented
-  divergence), but pinned at a floor so it cannot silently collapse.
+* scale: improved by sub-scale interpolation + scale-matched descriptor
+  footprints with level-lerped gradients (r3: 0.302 -> ~0.58 inlier
+  rate at 1.12x) but still below OpenCV's multi-octave pyramid —
+  pinned at a floor so it cannot silently collapse.
 """
 
 import cv2
@@ -53,9 +55,11 @@ def test_rotation_quality(setup):
 
 
 def test_scale_floor(setup):
-    # documented gap vs OpenCV (no sub-scale interpolation); floor only
+    # remaining (documented) gap vs OpenCV's multi-octave pyramid;
+    # floor set under the measured 0.58 (match counts are ~25, so the
+    # rate carries sampling noise)
     ga, hs, warped = setup
     r = measure_ours(ga, warped["scale1.12"], hs["scale1.12"], ratio=0.3)
     assert r["repeatability"] >= 0.4, r
     assert r["n_matches"] >= 10, r
-    assert r["inlier_rate"] >= 0.15, r
+    assert r["inlier_rate"] >= 0.4, r

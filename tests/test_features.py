@@ -27,7 +27,7 @@ def _corner_image(h=96, w=128, seed=0):
 
 def test_detect_keypoints_on_blobs():
     img, pts = _corner_image()
-    xy, score, valid = detect_keypoints(jnp.asarray(img), max_keypoints=64)
+    xy, score, valid, sigma = detect_keypoints(jnp.asarray(img), max_keypoints=64)
     xy, valid = np.asarray(xy), np.asarray(valid)
     assert valid.sum() >= 8
     # every strong detection is near a blob
@@ -42,10 +42,10 @@ def test_descriptor_match_translated_image():
     img, _ = _corner_image(seed=1)
     shift = 5
     img2 = np.roll(img, shift, axis=1)
-    xy1, _, v1 = detect_keypoints(jnp.asarray(img), max_keypoints=64)
-    xy2, _, v2 = detect_keypoints(jnp.asarray(img2), max_keypoints=64)
-    d1 = compute_descriptors(jnp.asarray(img), xy1, v1)
-    d2 = compute_descriptors(jnp.asarray(img2), xy2, v2)
+    xy1, _, v1, s1 = detect_keypoints(jnp.asarray(img), max_keypoints=64)
+    xy2, _, v2, s2 = detect_keypoints(jnp.asarray(img2), max_keypoints=64)
+    d1 = compute_descriptors(jnp.asarray(img), xy1, v1, s1)
+    d2 = compute_descriptors(jnp.asarray(img2), xy2, v2, s2)
     idx, good = match_descriptors(d1, v1, d2, v2, ratio=0.8)
     good = np.asarray(good)
     assert good.sum() >= 5

@@ -87,10 +87,10 @@ def measure_ours(gray_a, gray_b, hmat, tol=3.0, ratio=0.3, max_kp=512):
     )
 
     ga, gb = jnp.asarray(gray_a), jnp.asarray(gray_b)
-    xy_a, _, va = detect_keypoints(ga, max_keypoints=max_kp)
-    xy_b, _, vb = detect_keypoints(gb, max_keypoints=max_kp)
-    da = compute_descriptors(ga, xy_a, va)
-    db = compute_descriptors(gb, xy_b, vb)
+    xy_a, _, va, sa = detect_keypoints(ga, max_keypoints=max_kp)
+    xy_b, _, vb, sb = detect_keypoints(gb, max_keypoints=max_kp)
+    da = compute_descriptors(ga, xy_a, va, sa)
+    db = compute_descriptors(gb, xy_b, vb, sb)
     idx, good = match_descriptors(da, va, db, vb, ratio=ratio)
 
     xy_a, xy_b = np.asarray(xy_a), np.asarray(xy_b)
