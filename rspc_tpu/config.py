@@ -70,15 +70,15 @@ class ICPConfig:
     target_chunk: int = 2048   # target tile size for the XLA NN sweep
     use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back
                                # to the XLA sweep on other backends)
-    # Cell-bucketed capped NN (ops/nn_bucket.py) for the ITERATION
-    # sweeps: O(N * 27 * budget) instead of O(N * M) — the win for
-    # multi-million-point accumulated targets (incremental chain). Exact
-    # within the correspondence cap as long as no cell holds more than
-    # bucket_budget points (guaranteed-ish for voxel-downsampled targets
-    # at leaf >= cap; check ops/nn_bucket.bucket_stats otherwise).
-    # getFitnessScore still runs the full uncapped sweep.
-    use_bucket_nn: bool = False
-    bucket_budget: int = 32
+    # (A cell-bucketed capped NN backend — O(N * 27 * budget) instead of
+    # O(N * M) — was built and measured IN the pipeline on-chip in r3:
+    # 3-5x SLOWER at every real shape (north-star chain 0.26 s -> 1.18 s,
+    # incremental 6x307k 0.37 s -> 1.15 s, identical accuracy). Its
+    # per-point searchsorted + budget-bounded gathers are latency-bound
+    # on TPU, while the brute sweeps are VPU-throughput-bound with no
+    # size cliff (the HBM-streaming kernel covers multi-million-point
+    # targets). Removed rather than left as an unused flag; measurement
+    # recorded in RESULTS.md.)
     compute_fitness: bool = True  # getFitnessScore() pass after aligning;
                                   # costs one extra NN sweep — pipeline
                                   # stages whose fitness is never read

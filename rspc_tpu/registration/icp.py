@@ -149,19 +149,10 @@ def icp_align(
     use_pallas = config.use_pallas and jax.default_backend() == "tpu"
     if use_pallas:
         from rspc_tpu.ops.nn_pallas import nearest_neighbors_pallas
-    if config.use_bucket_nn:
-        from rspc_tpu.ops.nn_bucket import nearest_neighbors_bucketed
 
-    def correspondences(final_t, force_brute=False):
-        """``force_brute`` bypasses the bucketed search for the one
-        consumer that needs UNCAPPED distances (getFitnessScore)."""
+    def correspondences(final_t):
         src_t = apply_transform(final_t, src.xyz)
-        if config.use_bucket_nn and not force_brute:
-            d2, idx = nearest_neighbors_bucketed(
-                src_t, src.valid, tgt.xyz, tgt.valid,
-                config.max_correspondence_distance, config.bucket_budget,
-            )
-        elif use_pallas:
+        if use_pallas:
             d2, idx = nearest_neighbors_pallas(
                 src_t, src.valid, tgt.xyz, tgt.valid
             )
@@ -297,10 +288,8 @@ def icp_align(
     if config.compute_fitness:
         # getFitnessScore(): mean squared NN distance at the final pose over
         # all valid source points (max_range defaults to +inf in PCL), plus
-        # the inlier-only RMSE the bench reports. Costs one extra sweep —
-        # always the full brute sweep (the bucketed search only knows
-        # distances inside the cap).
-        src_t, d2, _, w = correspondences(final_t, force_brute=True)
+        # the inlier-only RMSE the bench reports. Costs one extra sweep.
+        src_t, d2, _, w = correspondences(final_t)
         nv = jnp.maximum(jnp.sum(src.valid.astype(dtype)), 1.0)
         finite_d2 = jnp.where(
             src.valid, jnp.where(jnp.isfinite(d2), d2, 0.0), 0.0
