@@ -114,3 +114,45 @@ def test_ndt_identity_stays_identity():
     T = np.asarray(res.transform)
     np.testing.assert_allclose(T, np.eye(4), atol=2e-2)
     assert float(res.trans_probability) > 0.5
+
+
+def test_dense_sweep_matches_gather_path():
+    """NDTConfig.sweep_cells: the gather-free dense compact-cell sweep
+    must reproduce the widened-table gather path to fp reduction noise
+    (same masked sum, same frozen-neighborhood semantics; equivalence
+    argument in registration/ndt.py::_compact_cells) on all three
+    neighborhoods."""
+    import dataclasses
+
+    pts = _scene(seed=5)
+    moved = (pts + np.float32([0.05, -0.03, 0.02])).astype(np.float32)
+    for nb in (27, 7, 1):
+        cfg = NDTConfig(dense_grid_dim=16, neighborhood=nb, max_iterations=12)
+        cfg_d = dataclasses.replace(cfg, sweep_cells=256)
+        grid = build_ndt_grid(Cloud.from_numpy(moved), cfg)
+        rg = ndt_align(Cloud.from_numpy(pts), grid, cfg)
+        rd = ndt_align(Cloud.from_numpy(pts), grid, cfg_d)
+        assert int(rg.iterations) == int(rd.iterations), nb
+        np.testing.assert_allclose(
+            np.asarray(rg.transform), np.asarray(rd.transform), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            float(rg.score), float(rd.score), rtol=1e-4
+        )
+
+
+def test_dense_sweep_cell_overflow_drops_extras():
+    """Valid cells beyond the sweep_cells cap are dropped (documented);
+    with a cap comfortably above the occupied count the result is
+    exact."""
+    import dataclasses
+
+    pts = _scene(seed=6)
+    cfg = NDTConfig(dense_grid_dim=16, max_iterations=6)
+    grid = build_ndt_grid(Cloud.from_numpy(pts), cfg)
+    n_valid = int(np.asarray(grid.valid).sum())
+    assert n_valid > 4
+    # generous cap: exact
+    cfg_big = dataclasses.replace(cfg, sweep_cells=max(64, 2 * n_valid))
+    res = ndt_align(Cloud.from_numpy(pts), grid, cfg_big)
+    np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=2e-2)

@@ -178,6 +178,39 @@ def ndt_roofline():
         lambda p: p + 1e-12 * jax.tree.leaves(lookup(p))[0][0, 0, 0],
         p0,
     )
+
+    # whole Newton evaluation (lookup + fvgh), gather path vs the
+    # gather-free dense compact-cell sweep (NDTConfig.sweep_cells) —
+    # the VERDICT r2 #4 item: the dense path removes the
+    # latency-bound per-iteration row gather entirely
+    import dataclasses
+
+    def newton_rows():
+        out = []
+        for name, c in (
+            ("gather", cfg),
+            ("dense sweep", dataclasses.replace(cfg, sweep_cells=512)),
+        ):
+            _, lk, _, _, fv = _make_objective(src, grid, c)
+
+            def step(p):
+                mu_, ic_, mask_ = lk(p)
+                f, g, h = fv(p, mu_, ic_, mask_)
+                return p + 1e-12 * g
+
+            t = _timed_chain(step, p0)
+            out.append(
+                {
+                    "kernel": f"NDT newton eval ({name}) n={n} k={k}",
+                    "per_call_ms": t * 1e3,
+                    "Gpairs/s": nk / t / 1e9,
+                    "eff_GB/s": bytes_moved / t / 1e9,
+                    "hbm_util": bytes_moved / t / HBM_PEAK,
+                    "est_VPU_util": flops / t / VPU_PEAK_EST,
+                }
+            )
+        return out
+
     return [
         {
             "kernel": f"NDT fvgh n={n} k={k}",
@@ -195,7 +228,7 @@ def ndt_roofline():
             "hbm_util": nk * 52.0 / lookup_call / HBM_PEAK,
             "est_VPU_util": float("nan"),
         },
-    ]
+    ] + newton_rows()
 
 
 def dispatch_split():
