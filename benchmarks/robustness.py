@@ -82,6 +82,25 @@ def scenarios():
             },
             "heavy noise, out-and-back yaw sweep (loop closures)",
         ),
+        # Drifting loop: out-and-back yaw AND translation under the
+        # combined scenario's drift conditions (mild noise, 30% texture)
+        # — per-pair drift accumulates on the way out, the return leg
+        # re-observes the start. The trajectory where redundant closure
+        # constraints genuinely carry information the chain lacks.
+        "loop_drift": (
+            {
+                "noise": mild,
+                "texture_contrast": 0.3,
+                "yaw_schedule": tuple(
+                    -0.2 * y for y in (0, 1, 2, 3, 4, 5, 4, 3, 2, 1)
+                ),
+                "translation_schedule": tuple(
+                    (0.09 * y, 0.0, 0.05 * y)
+                    for y in (0, 1, 2, 3, 4, 5, 4, 3, 2, 1)
+                ),
+            },
+            "mild noise + 30% texture, out-and-back yaw+translation",
+        ),
     }
 
 

@@ -258,6 +258,16 @@ def _matrix_to_pose(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([t[:3, 3], jnp.stack([a, b, c])])
 
 
+def _resolve_sweep_cells(config: NDTConfig) -> int:
+    """-1 = auto: the dense sweep is ~1.9x for the PCL-default 27-cell
+    neighborhood (the gather fetches 27x10 floats/point) and measured
+    chain-neutral for DIRECT7/DIRECT1 (RESULTS.md r3) — auto enables it
+    only where it wins."""
+    if config.sweep_cells >= 0:
+        return config.sweep_cells
+    return 512 if config.neighborhood == 27 else 0
+
+
 def _compact_cells(grid: NDTGrid, config: NDTConfig):
     """Compact the grid's VALID cells (typically a few hundred of D^3)
     into [C]-row tables for the dense sweep (NDTConfig.sweep_cells).
@@ -275,7 +285,7 @@ def _compact_cells(grid: NDTGrid, config: NDTConfig):
     beyond the C cap are DROPPED (documented in NDTConfig; size the cap
     to the scene)."""
     d = config.dense_grid_dim
-    c_cap = config.sweep_cells
+    c_cap = _resolve_sweep_cells(config)
     # valid cells first (stable, so cell-index order within each class)
     order = jnp.argsort(
         jnp.where(grid.valid, 0, 1).astype(jnp.int32), stable=True
@@ -331,7 +341,7 @@ def _make_objective(src: Cloud, grid: NDTGrid, config: NDTConfig, psum_axis=None
 
     d = config.dense_grid_dim
 
-    if config.sweep_cells > 0:
+    if _resolve_sweep_cells(config) > 0:
         # ---- dense compact-cell sweep: ZERO gathers in the Newton loop.
         # The roofline named the per-iteration neighborhood row gather as
         # the Newton stage's floor (~1.1 ms latency-bound at n=4096

@@ -96,7 +96,10 @@ def _timed_chain(fn, x0, k=128, reps=3):
         out = chain(x0)
         device_sync(out)
         ts.append(time.perf_counter() - t0)
-    return max(min(ts) - _call_floor(), 0.0) / k
+    # floor: never let a degraded-tunnel floor subtract a fast kernel to
+    # literal zero (division guards downstream; 1 us/call is below any
+    # real dispatch quantum)
+    return max(min(ts) - _call_floor(), k * 1e-6) / k
 
 
 def nn_roofline():
