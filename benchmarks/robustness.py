@@ -210,7 +210,7 @@ def main():
                     # fraction collapse at the fine cap fires a 10 cm
                     # p2p re-solve, never-worsen guarded)
                     cfg_r = robust_config()
-                    s = NDTEdgeBasedRegistration(rads=yaw, config=cfg_r)
+                    s = NDTEdgeBasedRegistration(config=cfg_r, **guess_kw)
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_graph":
                     # the full stack + pose-graph relaxation: redundant

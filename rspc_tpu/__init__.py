@@ -74,12 +74,18 @@ def _cache_is_safe() -> bool:
     # different host SIGILLs when machine features differ (XLA warns
     # exactly this on the virtual-CPU dryrun). CPU compiles are seconds,
     # not minutes, so the cache buys nothing there — keep it TPU-only.
-    # JAX_PLATFORMS is authoritative here: the test conftest and the
-    # driver's virtual-CPU dryrun both export JAX_PLATFORMS=cpu before
-    # this module is imported; probing jax.devices() instead would
-    # initialize the backend prematurely.
+    # JAX_PLATFORMS is the only signal available without prematurely
+    # initializing the backend, so the gate is ALLOWLIST-shaped: enable
+    # the cache only when the env EXPLICITLY names a TPU-class platform
+    # (this image exports JAX_PLATFORMS=axon ambiently; real TPU pods
+    # export tpu). An unset variable means jax will pick whatever is
+    # present — on a CPU-only host that is exactly the fatal XLA:CPU
+    # path, so unset defaults to NO cache (a TPU user without the env
+    # var loses only the cross-process compile cache, not correctness;
+    # enable_compilation_cache() remains callable explicitly).
     plats = _os.environ.get("JAX_PLATFORMS", "").strip().lower()
-    return plats != "cpu"
+    first = plats.split(",")[0].strip()
+    return first in ("tpu", "axon")
 
 
 if not _os.environ.get("RSPC_NO_CACHE") and _cache_is_safe():

@@ -118,11 +118,13 @@ class NDTConfig:
     # hash-shuffled voxel order, so a PREFIX SLICE of the buffer is
     # already a spatially uniform subsample — no extra shuffle pass.
     max_source_points: int = 0
-    # Dense compact-cell sweep (TPU knob; -1 = auto: 512 cells for the
-    # PCL-default neighborhood=27 where it measures ~1.9x, off for
-    # DIRECT7/DIRECT1 where the chain wall is unchanged; 0 = force the
-    # widened-table row gather). >0: once per align, compact the grid's
-    # VALID cells
+    # Dense compact-cell sweep (TPU knob; 0 = off, the default: the
+    # widened-table gather path evaluates EVERY cell exactly with no
+    # cap. -1 = auto: 512 cells when neighborhood == 27, where the sweep
+    # measures ~1.9x per align — opt-in because any scene occupying more
+    # valid cells than the cap silently loses the dropped cells'
+    # evidence, and exact-by-default wins that trade). >0: explicit cap;
+    # once per align, compact the grid's VALID cells
     # (typically a few hundred of D^3) into a [C]-row table and evaluate
     # the score/derivatives as a dense [N x C] broadcast sweep —
     # radius + adjacency + validity as an elementwise mask, per-cell
@@ -134,7 +136,7 @@ class NDTConfig:
     # mask equivalence in registration/ndt.py::_compact_cells). Valid
     # cells beyond the cap are dropped — size it generously (a 10-frame
     # room at 1 m resolution occupies ~200-800 cells).
-    sweep_cells: int = -1
+    sweep_cells: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -191,10 +191,14 @@ def compute_descriptors(
         footprint was not rotation invariant);
       * with ``sigma`` (from detect_keypoints' sub-scale interpolation)
         the grid is also SCALED by sigma/1.6 and gradients come from the
-        Gaussian level nearest the keypoint scale — corresponding
-        keypoints across a zoom then sample the same WORLD extent, which
-        is what OpenCV's per-octave sampling buys (the round-2 version's
-        fixed footprint lost 2/3 of its inliers under a 1.12x rescale);
+        Gaussian levels bracketing the keypoint scale, LERPED —
+        corresponding keypoints across a zoom then sample the same WORLD
+        extent, which is what OpenCV's per-octave sampling buys (the
+        round-2 version's fixed footprint lost 2/3 of its inliers under
+        a 1.12x rescale). ``sigma`` is an absolute blur scale, so it
+        maps validly onto THIS function's own pyramid even if the
+        detector ran with a different num_scales (matching them merely
+        aligns the level grids); sigmas beyond the top level clamp;
       * gradients are sampled sub-pixel (bilinear on gx/gy — not on the
         wrapped angle) so +-0.5 px keypoint jitter does not reshuffle
         bin contents;

@@ -166,15 +166,20 @@ def _anchor_refine(
             nrm = jnp.take(anchor.normal, idx.reshape(-1), axis=0).reshape(
                 b, n_pts, 3
             )
+            w_fit = w
             if stage_cfg.huber_delta is not None:
                 r = jnp.sum((cur - q) * nrm, axis=-1)
-                w = w * jnp.minimum(
+                w_fit = w * jnp.minimum(
                     1.0,
                     stage_cfg.huber_delta / jnp.maximum(jnp.abs(r), 1e-12),
                 )
             if use_color and stage_cfg.color_weight > 0.0:
-                # colored-ICP rows against the anchor's gradient field
-                # (see registration/icp.py for the residual definition)
+                # colored-ICP rows against the anchor's gradient field —
+                # SAME weighting as registration/icp.py: the photometric
+                # rows start from the RAW correspondence mask ``w`` (not
+                # the geometric-huber-reweighted w_fit; a large plane
+                # residual must not also mute a point's color row) and
+                # get their own color huber
                 g = jnp.take(
                     anchor.cgrad, idx.reshape(-1), axis=0
                 ).reshape(b, n_pts, 3)
@@ -197,13 +202,13 @@ def _anchor_refine(
                         s, d, nn, ww, stage_cfg.point_plane_mix,
                         cgrad=gg, color_resid=dd, color_weights=wc,
                     )
-                )(cur, q, nrm, w, g, di, w_c)
+                )(cur, q, nrm, w_fit, g, di, w_c)
             else:
                 t_inc = jax.vmap(
                     lambda s, d, nn, ww: plane_fit(
                         s, d, nn, ww, stage_cfg.point_plane_mix
                     )
-                )(cur, q, nrm, w)
+                )(cur, q, nrm, w_fit)
             # per-lane trust region (see registration/icp.py)
             def clip_one(t, c_xyz, c_valid):
                 ang = jnp.arccos(

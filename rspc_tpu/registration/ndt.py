@@ -261,8 +261,10 @@ def _matrix_to_pose(t: jnp.ndarray) -> jnp.ndarray:
 def _resolve_sweep_cells(config: NDTConfig) -> int:
     """-1 = auto: the dense sweep is ~1.9x for the PCL-default 27-cell
     neighborhood (the gather fetches 27x10 floats/point) and measured
-    chain-neutral for DIRECT7/DIRECT1 (RESULTS.md r3) — auto enables it
-    only where it wins."""
+    chain-neutral for DIRECT7/DIRECT1 (RESULTS.md r3). Auto is OPT-IN
+    (the config default is 0 = exact gather path): the sweep caps the
+    compacted cell count and a scene occupying more valid cells than
+    the cap silently loses the dropped cells' evidence."""
     if config.sweep_cells >= 0:
         return config.sweep_cells
     return 512 if config.neighborhood == 27 else 0

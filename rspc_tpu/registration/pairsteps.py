@@ -241,6 +241,14 @@ def _rescue_from(
             transformation_epsilon=1e-12,
             euclidean_fitness_epsilon=1e-12,
             compute_fitness=False,
+            # the escape solve is point-to-point BY DESIGN (docstring
+            # above): at a ~10 cm misalignment p2l refuses in-plane
+            # motion and a mm-scale huber/colored weighting crushes the
+            # very residuals the rescue must follow — pin the variant so
+            # colored/p2l fine-stage presets cannot silently inherit in
+            variant="point_to_point",
+            huber_delta=None,
+            color_weight=0.0,
         )
         r1 = icp_align(cur, target, wide_cfg)
         cur2 = apply_transform_cloud(r1.transform, cur)
