@@ -55,8 +55,14 @@ def _local_icp(config: ICPConfig, axis: str):
     mse_rel = config.euclidean_fitness_epsilon
 
     p2l = config.variant == "point_to_plane"
+    # colored-ICP rows (Park-Zhou-Koltun; registration/icp.py has the
+    # residual definition): additive like the geometric moments, so they
+    # fold into the SAME 43-scalar psum. Static on config, so the plain
+    # geometric program carries no color inputs' compute (the zero
+    # placeholders the entry points pass are dead-code-eliminated).
+    colored = p2l and config.color_weight > 0.0
 
-    def local(sxyz, svalid, txyz, tvalid, tnrm, guess_rep):
+    def local(sxyz, svalid, s_int, txyz, tvalid, tnrm, t_int, t_cg, guess_rep):
         dtype = sxyz.dtype
         # see registration/icp.py: f32-max reciprocal is subnormal on TPU
         big = jnp.asarray(1e18, dtype)
@@ -95,6 +101,25 @@ def _local_icp(config: ICPConfig, axis: str):
                 h6, g6 = plane_fit_moments(
                     src_t - c, tgt_m - c, tgt_n, w_fit
                 )
+                if colored:
+                    # photometric rows weight from the RAW mask w (the
+                    # geometric huber must not mute color rows) with
+                    # their own huber, exactly as registration/icp.py
+                    g_m = jnp.take(t_cg, idx, axis=0)
+                    di = jnp.take(t_int, idx, axis=0) - s_int
+                    w_col = w * jnp.asarray(config.color_weight, dtype)
+                    if config.color_huber_delta is not None:
+                        r_c = jnp.sum((src_t - tgt_m) * g_m, axis=-1) + di
+                        w_col = w_col * jnp.minimum(
+                            1.0,
+                            config.color_huber_delta
+                            / jnp.maximum(jnp.abs(r_c), 1e-12),
+                        )
+                    hc, gc = plane_fit_moments(
+                        src_t - c, tgt_m - c, g_m, w_col, offset=di
+                    )
+                    h6 = h6 + hc
+                    g6 = g6 + gc
                 n_local = jnp.sum(w)
                 h6, g6, n_corr, mse_sum = jax.lax.psum(
                     (h6, g6, n_local, mse_sum), axis
@@ -193,6 +218,30 @@ def _local_icp(config: ICPConfig, axis: str):
     return local
 
 
+def _color_inputs(src: Cloud, tgt: Cloud, config: ICPConfig):
+    """(i_src, i_tgt, t_cgrad) for the colored residual; zero
+    placeholders when the config/target do not engage it (the local body
+    never touches them then, so XLA dead-code-eliminates the zeros)."""
+    if config.variant == "point_to_plane" and config.color_weight > 0.0:
+        if tgt.cgrad is None:
+            raise ValueError(
+                "color_weight > 0 needs a target cloud carrying cgrad "
+                "(ops/colorgrad.py; EdgeConfig.carry_cgrad)"
+            )
+        from rspc_tpu.ops.colorgrad import intensity
+
+        return (
+            intensity(src.rgb).astype(src.xyz.dtype),
+            intensity(tgt.rgb).astype(src.xyz.dtype),
+            tgt.cgrad,
+        )
+    return (
+        jnp.zeros(src.xyz.shape[:-1], src.xyz.dtype),
+        jnp.zeros(tgt.xyz.shape[:-1], src.xyz.dtype),
+        jnp.zeros_like(tgt.xyz),
+    )
+
+
 def _rep_result(spec) -> ICPResult:
     return ICPResult(
         transform=spec, converged=spec, state=spec, iterations=spec,
@@ -220,15 +269,19 @@ def sharded_icp_align(
     tnrm = (
         tgt.normal if tgt.normal is not None else jnp.zeros_like(tgt.xyz)
     )
+    s_int, t_int, t_cg = _color_inputs(src, tgt, config)
     rep = P()
     fn = jax.shard_map(
         _local_icp(config, axis),
         mesh=mesh,
-        in_specs=(P(axis), P(axis), rep, rep, rep, rep),
+        in_specs=(P(axis), P(axis), P(axis), rep, rep, rep, rep, rep, rep),
         out_specs=_rep_result(rep),
         check_vma=False,
     )
-    return fn(src.xyz, src.valid, tgt.xyz, tgt.valid, tnrm, guess)
+    return fn(
+        src.xyz, src.valid, s_int, tgt.xyz, tgt.valid, tnrm, t_int, t_cg,
+        guess,
+    )
 
 
 def batched_sharded_icp_align(
@@ -251,15 +304,19 @@ def batched_sharded_icp_align(
     tnrm = (
         tgt.normal if tgt.normal is not None else jnp.zeros_like(tgt.xyz)
     )
+    s_int, t_int, t_cg = _color_inputs(src, tgt, config)
     local = _local_icp(config, points_axis)
-    batched = jax.vmap(local, in_axes=(0, 0, 0, 0, 0, 0))
+    batched = jax.vmap(local, in_axes=(0,) * 9)
     dp = P(data_axis)
     dsp = P(data_axis, points_axis)
     fn = jax.shard_map(
         batched,
         mesh=mesh,
-        in_specs=(dsp, dsp, dp, dp, dp, dp),
+        in_specs=(dsp, dsp, dsp, dp, dp, dp, dp, dp, dp),
         out_specs=_rep_result(dp),
         check_vma=False,
     )
-    return fn(src.xyz, src.valid, tgt.xyz, tgt.valid, tnrm, guesses)
+    return fn(
+        src.xyz, src.valid, s_int, tgt.xyz, tgt.valid, tnrm, t_int, t_cg,
+        guesses,
+    )

@@ -184,3 +184,73 @@ def test_sharded_ndt_matches_single_chip():
         float(sharded.score), float(single.score), rtol=1e-3
     )
     assert bool(sharded.converged) == bool(single.converged)
+
+
+def test_sharded_colored_p2l_matches_single_chip():
+    """Colored-ICP rows in the points-sharded solve: the photometric
+    moments are additive like the geometric ones, so the psum'd result
+    must match registration/icp.py's to reduction noise."""
+    import dataclasses
+
+    mesh = make_mesh(8, axes=("points",))
+    rng = np.random.default_rng(7)
+    n, m = 128, 256
+    # textured plane: geometry constrains z, texture constrains x/y
+    q = rng.uniform(-0.5, 0.5, (m, 3)).astype(np.float32)
+    q[:, 2] = 1.0
+    i_tgt = 0.5 + 0.3 * np.sin(7.0 * q[:, 0]) * np.cos(7.0 * q[:, 1])
+    g = np.stack(
+        [
+            0.3 * 7.0 * np.cos(7.0 * q[:, 0]) * np.cos(7.0 * q[:, 1]),
+            -0.3 * 7.0 * np.sin(7.0 * q[:, 0]) * np.sin(7.0 * q[:, 1]),
+            np.zeros(m),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    gray = lambda i: np.stack([i, i, i], -1).astype(np.float32) * 255.0
+    tgt = Cloud(
+        xyz=jnp.asarray(q),
+        rgb=jnp.asarray(gray(i_tgt)),
+        valid=jnp.ones(m, bool),
+        normal=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (m, 3)).astype(
+            jnp.float32
+        ),
+        cgrad=jnp.asarray(g),
+    )
+    t_true = np.float32([0.004, -0.003, 0.0])
+    p = rng.uniform(-0.45, 0.45, (n, 3)).astype(np.float32)
+    p[:, 2] = 1.0
+    w = p + t_true
+    i_src = 0.5 + 0.3 * np.sin(7.0 * w[:, 0]) * np.cos(7.0 * w[:, 1])
+    src = Cloud(
+        xyz=jnp.asarray(p), rgb=jnp.asarray(gray(i_src)),
+        valid=jnp.ones(n, bool),
+    )
+    cfg = ICPConfig(
+        variant="point_to_plane",
+        max_iterations=12,
+        max_correspondence_distance=0.05,
+        transformation_epsilon=1e-12,
+        euclidean_fitness_epsilon=1e-12,
+        mse_threshold_absolute=1e-16,
+        target_chunk=64,
+        use_pallas=False,
+        huber_delta=None,
+        color_weight=1.0,
+    )
+    rs = sharded_icp_align(src, tgt, mesh, cfg)
+    r1 = icp_align(src, tgt, cfg)
+    np.testing.assert_allclose(
+        np.asarray(rs.transform), np.asarray(r1.transform), atol=1e-5
+    )
+    # and the colored solve actually recovers the in-plane shift
+    err = np.abs(np.asarray(rs.transform)[:3, 3] - t_true).max()
+    assert err < 1e-3, err
+    # zero weight -> bit-identical to the plain geometric sharded solve
+    cfg0 = dataclasses.replace(cfg, color_weight=0.0)
+    tgt0 = dataclasses.replace(tgt, cgrad=None)
+    a = sharded_icp_align(src, tgt0, mesh, cfg0)
+    b = sharded_icp_align(src, tgt, mesh, cfg0)
+    np.testing.assert_array_equal(
+        np.asarray(a.transform), np.asarray(b.transform)
+    )
