@@ -67,6 +67,11 @@ class ICPConfig:
     # rigid motion can explain. None = plain least squares.
     color_huber_delta: float | None = 0.05
     # TPU execution knobs (no reference analog):
+    # Strided source-subsample cap for the solve (0 = all points, PCL
+    # behavior). Every NN sweep is linear in the source count and the
+    # LLS pose estimate degrades only as 1/sqrt(n); the caller still
+    # transforms/merges the full cloud (see icp_align).
+    max_source_points: int = 0
     target_chunk: int = 2048   # target tile size for the XLA NN sweep
     use_pallas: bool = True    # Pallas NN kernel on TPU (auto-falls back
                                # to the XLA sweep on other backends)

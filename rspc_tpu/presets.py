@@ -34,7 +34,17 @@ def north_star_config() -> PipelineConfig:
     """Reference algorithmic defaults with TPU capacity/accuracy knobs
     sized for the 10-frame 640x480 north-star workload."""
     return PipelineConfig(
-        icp=ICPConfig(target_chunk=4096),
+        # fine-stage solve on an 8192-point stride of the 16384-cap edge
+        # cloud: the sweeps are linear in the source count and the LLS
+        # pose from half the (well-spread) edge points is unchanged —
+        # bench err identical (3.29e-4) at ~8% less wall; the full cloud
+        # still merges. 4096 was measured to start moving the err
+        # (3.4e-4). Per the r2 "2048-NDT-subsample" lesson the full
+        # matrix WAS re-run: geometric hard rows are unchanged
+        # (partial_overlap map 3.65e-3) but loop_drift cells pay 10-20%
+        # (map 2.16e-2 -> 2.58e-2) — so robust_config() unpins this back
+        # to 0, exactly as it re-densifies the NDT source.
+        icp=ICPConfig(target_chunk=4096, max_source_points=8192),
         # DIRECT7-style neighborhood: ~4x fewer gathers in the NDT score
         # path for near-identical optima (the coarse guard + refine stage
         # absorb the residual difference). 4096-point uniform subsample:
@@ -134,6 +144,11 @@ def robust_config(
     * ``ndt.max_source_points=4096``: hard trajectories need the denser
       coarse stage (see module docstring); costs ~9 ms over the
       clean-scene 2048 default.
+    * ``icp.max_source_points=0``: the north-star preset's 8192-point
+      fine-solve stride is free on the clean scene but costs 10-20% max
+      err on the loop_drift cells (map 2.16e-2 -> 2.58e-2 measured
+      on-chip) — drift trajectories need every edge inlier in the
+      solve, same lesson as the NDT knob above.
     * ``anchor_mode="map"`` (opt): progressive local-map anchoring for
       trajectories that rotate away from frame 0.
     * ``pose_graph=True`` (opt): SE(3) relaxation over redundant
@@ -176,5 +191,6 @@ def robust_config(
         coarse_warm_start=True,
         rescue_inlier_frac=0.55,
         ndt=dataclasses.replace(cfg.ndt, max_source_points=4096),
+        icp=dataclasses.replace(cfg.icp, max_source_points=0),
         refine=refine,
     )

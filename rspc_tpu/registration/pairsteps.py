@@ -45,10 +45,14 @@ _WARM_GUARD_MARGIN = 0.85
 
 # Minimum fine-cap inlier-count growth for a fired rescue to be kept —
 # see _rescue_from's keep criterion. Noise-caused firings measure ~1.0x
-# gain, genuine local-optimum escapes 2-5x; 1.15 keeps marginal genuine
-# escapes on noisy partial-overlap scenes while still rejecting pure
-# noise drifts.
-_RESCUE_KEEP_GAIN = 1.15
+# gain, genuine local-optimum escapes 2-5x. 1.5 sits in the measured
+# separation: on the `combined` drift wall the colored wide-cap escapes
+# it keeps all gain >2x and the marginal (<1.5x) accepts it drops were
+# net-harmful — max err 7.8e-2 (gate 1.15) -> 5.2e-2 (gate 1.5, stable:
+# identical at 2.0) — while partial_overlap's genuine escapes (2-5x)
+# are untouched. Raising it further starts rejecting real escapes on
+# the loop trajectories (loop_drift colored: 9.5e-2 at 2.0).
+_RESCUE_KEEP_GAIN = 1.5
 
 # Source-point budget for the coarse guard's hypothesis sweep. The guard
 # compares capped-NN MEANS of the same source under k transforms — a
@@ -212,8 +216,10 @@ def _rescue_from(
     .rescue_inlier_frac). ``cur`` is the source already at the post-fine
     pose, ``n_inl`` the number of valid source points with a
     correspondence inside the fine cap at that pose. When the inlier
-    fraction is below ``thresh``, run ``iters`` point-to-point ICP
-    iterations at the wider ``cap`` and re-fine at the original cap.
+    fraction is below ``thresh``, run ``iters`` ICP iterations at the
+    wider ``cap`` (inheriting the preset's residual — variant, huber,
+    colored rows; see the wide_cfg comment below) and re-fine at the
+    original cap.
     Returns (relative transform, fired bool) — the clean path pays only
     the branch test (``lax.cond`` skips the rescue sweeps at runtime
     when the gate doesn't fire).
@@ -241,14 +247,23 @@ def _rescue_from(
             transformation_epsilon=1e-12,
             euclidean_fitness_epsilon=1e-12,
             compute_fitness=False,
-            # the escape solve is point-to-point BY DESIGN (docstring
-            # above): at a ~10 cm misalignment p2l refuses in-plane
-            # motion and a mm-scale huber/colored weighting crushes the
-            # very residuals the rescue must follow — pin the variant so
-            # colored/p2l fine-stage presets cannot silently inherit in
-            variant="point_to_point",
-            huber_delta=None,
-            color_weight=0.0,
+            # The escape solve INHERITS the preset's variant/huber/color
+            # — measured, not theorized. A review pass once pinned this
+            # to plain point-to-point ("p2l refuses in-plane motion and
+            # mm-scale huber/colored weighting crushes ~10 cm
+            # residuals"), which is a no-op for the non-colored presets
+            # (their fine config IS p2p/no-huber) but deterministically
+            # regressed the colored preset's own scenario, `combined`:
+            # 7.8e-2 -> 1.3e-1 max err (bisected on-chip, bit-exact
+            # reproduction either side). Mechanism: on a drifted-but-
+            # overlapping pair the inherited colored-p2l wide solve is a
+            # wide-cap COLORED realignment — the geometric huber mutes
+            # wrong-surface chasing at the 10 cm radius while the color
+            # rows (own huber, raw-mask weights) supply exactly the
+            # in-plane correction the drift lacks; pinned p2p chased
+            # wrong-surface NN instead and the inlier-growth gate kept
+            # it. On partial_overlap (genuine ~10 cm escapes) the
+            # colored preset measures 3.8e-3 with or without the pin.
         )
         r1 = icp_align(cur, target, wide_cfg)
         cur2 = apply_transform_cloud(r1.transform, cur)

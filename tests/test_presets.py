@@ -39,12 +39,18 @@ def test_robust_config_only_intended_deltas():
     the preset is a delta, not a fork."""
     base = north_star_config()
     cfg = robust_config()
-    assert cfg.icp == base.icp
+    import dataclasses
+
+    # intended delta: the fine-solve stride is a clean-scene speed knob;
+    # drift trajectories need every edge inlier (see robust_config)
+    assert cfg.icp.max_source_points == 0
+    ic = dataclasses.replace(
+        cfg.icp, max_source_points=base.icp.max_source_points
+    )
+    assert ic == base.icp
     assert cfg.edge == base.edge
     assert cfg.voxel == base.voxel
     assert cfg.refine == base.refine
     assert cfg.coarse_guard_cap == base.coarse_guard_cap
-    import dataclasses
-
     nd = dataclasses.replace(cfg.ndt, max_source_points=base.ndt.max_source_points)
     assert nd == base.ndt
