@@ -119,9 +119,16 @@ def main():
 
     args = sys.argv[1:]
     only_schemes = None
+    seed = 0
     for a in list(args):
         if a.startswith("--schemes="):
             only_schemes = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
+        elif a.startswith("--seed="):
+            # per-frame noise draws derive from seed*1000+frame
+            # (capture/synthetic.py) — a different seed redraws every
+            # noise/dropout realization on the same trajectory
+            seed = int(a.split("=", 1)[1])
             args.remove(a)
     which = set(args) or set(scenarios())
     n_frames = 10
@@ -136,6 +143,7 @@ def main():
         seq = SyntheticSequence(
             n_frames=n_frames,
             yaw_step=yaw,
+            seed=seed,
             intr=Intrinsics.simple(640, 480),
             **kw,
         )
@@ -294,6 +302,7 @@ def main():
             row = {
                 "scenario": name,
                 "scheme": scheme_name,
+                "seed": seed,
                 "max_err": max_err,
                 "mean_err": mean_err,
                 "converged": int(sum(conv)),

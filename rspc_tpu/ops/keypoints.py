@@ -16,11 +16,12 @@ component, engineered TPU-first rather than cycle-accurate to OpenCV:
   * matching is one [K,128]x[128,K] MXU matmul + 2-NN ratio test
     (ops/match below), not a kd-tree/FLANN approximation.
 
-Documented divergences from OpenCV SIFT: single octave (no spatial
-downsampling pyramid — the detector covers scales within the octave via
-the DoG stack and sub-scale interpolation); descriptors sample the
-nearest Gaussian level rather than a per-keypoint re-blur. Matching
-behavior downstream (ratio 0.3) is preserved.
+Documented divergences from OpenCV SIFT: a fixed small number of
+octaves (default 2, vs OpenCV's image-size-derived ~5; each octave has
+fixed shapes so the whole pyramid stays jittable) and no 2x-upsampled
+base octave; descriptors sample full-resolution Gaussian levels of the
+matching absolute sigma (lerped) rather than per-octave subsampled
+grids. Matching behavior downstream (ratio 0.3) is preserved.
 """
 
 from __future__ import annotations
@@ -47,26 +48,38 @@ def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return conv2d_same(out, k[:, None])
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "num_scales"))
-def detect_keypoints(
-    gray: jnp.ndarray,
-    max_keypoints: int = 512,
-    num_scales: int = 3,
-    contrast_threshold: float = 0.02,
-    edge_ratio: float = 10.0,
+def _detect_octave(
+    img: jnp.ndarray,
+    max_keypoints: int,
+    num_scales: int,
+    contrast_threshold: float,
+    edge_ratio: float,
+    first: bool,
 ):
-    """DoG extrema on the base octave.
+    """DoG extrema on ONE octave of the (already [0,1]-scaled) image.
 
-    Returns (xy f32[K,2] pixel coords, score f32[K], valid bool[K],
-    sigma f32[K] interpolated keypoint scale).
-    Fixed capacity K = max_keypoints via top-k |DoG| response.
+    Returns (xy, score, valid, sigma) in THIS octave's pixel/sigma units
+    plus the next octave's base image (the sigma-3.2 Gaussian level
+    subsampled 2x — standard SIFT octave recursion, so the next base
+    carries blur 1.6 in its own units).
     """
-    img = gray.astype(jnp.float32) / 255.0
     k = 2.0 ** (1.0 / num_scales)
     sigmas = [1.6 * (k**i) for i in range(num_scales + 3)]
-    gauss = [_blur(img, s) for s in sigmas]
+    if first:
+        # octave 0: the raw image is treated as blur-free (matches the
+        # single-octave behavior this helper was refactored from)
+        gauss = [_blur(img, s) for s in sigmas]
+    else:
+        # later octaves: the base ALREADY carries blur 1.6 (it is the
+        # sigma-3.2 level of the previous octave subsampled 2x), so blur
+        # only by the increment sqrt(s^2 - 1.6^2)
+        gauss = [img] + [
+            _blur(img, float(np.sqrt(max(s * s - 1.6 * 1.6, 1e-6))))
+            for s in sigmas[1:]
+        ]
     dogs = [gauss[i + 1] - gauss[i] for i in range(len(gauss) - 1)]
     dog = jnp.stack(dogs, axis=0)  # [S+2, H, W]
+    next_base = gauss[num_scales][::2, ::2]
 
     h, w = img.shape
     mid = dog[1:-1]  # candidate scales [S, H, W]
@@ -167,16 +180,68 @@ def detect_keypoints(
     # mid[i] lives at sigma = 1.6 * k^(i+1)
     lvl = s_best[top_idx].astype(jnp.float32) + 1.0 + off_s
     sigma = 1.6 * jnp.power(k, lvl)
-    return jnp.stack([xs, ys], axis=-1), top_scores, valid, sigma
+    return jnp.stack([xs, ys], axis=-1), top_scores, valid, sigma, next_base
 
 
-@partial(jax.jit, static_argnames=("num_scales",))
+@partial(
+    jax.jit, static_argnames=("max_keypoints", "num_scales", "num_octaves")
+)
+def detect_keypoints(
+    gray: jnp.ndarray,
+    max_keypoints: int = 512,
+    num_scales: int = 3,
+    contrast_threshold: float = 0.02,
+    edge_ratio: float = 10.0,
+    num_octaves: int = 2,
+):
+    """DoG extrema over ``num_octaves`` spatial octaves.
+
+    Returns (xy f32[K,2] base-image pixel coords, score f32[K], valid
+    bool[K], sigma f32[K] interpolated keypoint scale in base-image
+    units). Fixed capacity K = max_keypoints via top-k |DoG| response
+    across ALL octaves (each octave contributes up to K candidates; DoG
+    magnitudes are approximately scale-invariant, so one top-k is a fair
+    merge). Octaves whose image would fall below 48 px on a side are
+    statically skipped.
+
+    Multi-octave closes the measured X8 scale gap (RESULTS.md): with one
+    octave the detector covers only sigma in [2.0, 3.2], so a keypoint
+    near the range edge in frame A has no detectable partner in a
+    rescaled frame B; OpenCV covers ~5 octaves. Reference path:
+    /root/reference/src/capture_opencv.hpp:30-48 (cv::SIFT defaults).
+    """
+    img = gray.astype(jnp.float32) / 255.0
+    per = []
+    base = img
+    for o in range(num_octaves):
+        h, w = base.shape
+        if min(h, w) < 48:
+            break
+        xy, sc, valid, sig, next_base = _detect_octave(
+            base, max_keypoints, num_scales, contrast_threshold,
+            edge_ratio, first=(o == 0),
+        )
+        f = float(2**o)
+        per.append((xy * f, sc, valid, sig * f))
+        base = next_base
+    if len(per) == 1:
+        return per[0]
+    xy = jnp.concatenate([p[0] for p in per], axis=0)
+    sc = jnp.concatenate([p[1] for p in per], axis=0)
+    valid = jnp.concatenate([p[2] for p in per], axis=0)
+    sig = jnp.concatenate([p[3] for p in per], axis=0)
+    top, idx = jax.lax.top_k(jnp.where(valid, sc, 0.0), max_keypoints)
+    return xy[idx], top, valid[idx] & (top > 0), sig[idx]
+
+
+@partial(jax.jit, static_argnames=("num_scales", "num_octaves"))
 def compute_descriptors(
     gray: jnp.ndarray,
     xy: jnp.ndarray,
     valid: jnp.ndarray,
     sigma: jnp.ndarray | None = None,
     num_scales: int = 3,
+    num_octaves: int = 2,
 ):
     """128-d SIFT-layout descriptors (4x4 spatial x 8 orientation bins).
 
@@ -209,7 +274,12 @@ def compute_descriptors(
     """
     img = gray.astype(jnp.float32) / 255.0
     kk = 2.0 ** (1.0 / num_scales)
-    n_lvl = num_scales + 3
+    # enough full-resolution blur levels to bracket every sigma the
+    # multi-octave detector can report (max ~1.6 * 2^num_octaves * k^0.5);
+    # sampling gradients from a full-res blur of the SAME absolute sigma
+    # is equivalent to OpenCV's per-octave subsampled grid up to the
+    # aliasing the subsample introduces
+    n_lvl = num_scales * num_octaves + 3
     levels = [_blur(img, 1.6 * (kk**i)) for i in range(n_lvl)]
 
     def grad(f):
