@@ -290,8 +290,6 @@ def compute_descriptors(
     gs = [grad(f) for f in levels]
     gx_st = jnp.stack([g[0] for g in gs])  # [L,H,W]
     gy_st = jnp.stack([g[1] for g in gs])
-    mag_st = jnp.sqrt(gx_st * gx_st + gy_st * gy_st)
-    ang_st = jnp.arctan2(gy_st, gx_st)
     h, w = img.shape
     if sigma is None:
         sigma = jnp.full((xy.shape[0],), 1.6, jnp.float32)
@@ -341,16 +339,21 @@ def compute_descriptors(
         # Gaussian-weighted histogram, circularly smoothed (SIFT), peak
         xs0 = jnp.clip((cx + ou * scale).astype(jnp.int32), 0, w - 1)
         ys0 = jnp.clip((cy + ov * scale).astype(jnp.int32), 0, h - 1)
-        # orientation histogram works on the floor level alone: the
-        # 36-bin argmax is robust to the blur-level half-step, and the
-        # angle field cannot be lerped across levels (wrapped quantity).
-        # (Both dual-level histogram accumulation and parabolic peak
-        # interpolation were tried and measured NET-NEGATIVE on the
-        # warp suite — with ~200 keypoints the peak shifts they induce
-        # between corresponding patches outweigh the quantization they
-        # remove.)
-        m0 = mag_st[lvl, ys0, xs0] * gauss_w
-        a0 = ang_st[lvl, ys0, xs0]
+        # orientation histogram from the SAME level-lerped gradient
+        # fields the descriptor samples (gx/gy are linear fields, so the
+        # lerp is sound; the wrapped ANGLE is computed after). (Dual-
+        # level histogram ACCUMULATION and parabolic peak interpolation
+        # were tried and measured NET-NEGATIVE on the warp suite — with
+        # ~200 keypoints the peak shifts they induce between
+        # corresponding patches outweigh the quantization they remove.)
+        gx0 = (1.0 - lfrac) * gx_st[lvl, ys0, xs0] + lfrac * gx_st[
+            lvl1, ys0, xs0
+        ]
+        gy0 = (1.0 - lfrac) * gy_st[lvl, ys0, xs0] + lfrac * gy_st[
+            lvl1, ys0, xs0
+        ]
+        m0 = jnp.sqrt(gx0 * gx0 + gy0 * gy0) * gauss_w
+        a0 = jnp.arctan2(gy0, gx0)
         bins36 = (
             jnp.floor((a0 + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32)
             % 36
