@@ -61,20 +61,32 @@ def main():
     # 551 s total (478 s on one kernel compile, 19 s rendering) because
     # the whole session ran inside a degraded-tunnel episode (floor
     # 48.5 ms/call vs the usual 0.1-2). Waiting an episode out up front
-    # is cheaper than inflating every stage below — but bounded: some
-    # sessions sit at a 50-60 ms floor for their whole lifetime (and
+    # is cheaper than inflating every stage below — but many sessions
+    # sit at a PERSISTENT 50-70 ms floor for their whole lifetime (and
     # still hit the wall target; the floor hurts compiles and renders,
-    # not the fused-program metric), so two short waits, then proceed.
+    # not the fused-program metric). So: one short wait, and a second
+    # only if the first actually helped — an unimproved floor means
+    # persistent degradation, where sleeping is pure waste (measured:
+    # the old 2x60s waits cost 120 s of a 190 s bench with the floor
+    # 69.9 -> 53.9 -> 66.9, i.e. noise).
     floor_ms = dispatch_floor_ms()
     for _ in range(2):
         if floor_ms < 20.0:
             break
         log(
             f"tunnel degraded (dispatch floor {floor_ms:.1f} ms/call) "
-            "-- sleeping 60s before proceeding"
+            "-- sleeping 20s before re-probing"
         )
-        time.sleep(60)
-        floor_ms = dispatch_floor_ms()
+        time.sleep(20)
+        new_floor = dispatch_floor_ms()
+        improved = new_floor < 0.7 * floor_ms
+        floor_ms = new_floor
+        if not improved and floor_ms >= 20.0:
+            log(
+                f"floor did not improve ({floor_ms:.1f} ms/call) -- "
+                "persistent degradation, proceeding"
+            )
+            break
     log(f"trivial-dispatch floor: {floor_ms:.2f} ms/call")
 
     seq = SyntheticSequence(
