@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from rspc_tpu.cloud import Cloud
 from rspc_tpu.config import ICPConfig
 from rspc_tpu.ops.nn import nearest_neighbors
+from rspc_tpu.registration.bufferops import _stride_cloud
 from rspc_tpu.ops.transform import apply_transform
 from rspc_tpu.ops.umeyama import _rodrigues, plane_fit, rigid_fit
 
@@ -111,16 +112,13 @@ def icp_align(
     eye = jnp.eye(4, dtype=dtype)
     guess = eye if init_guess is None else init_guess.astype(dtype)
 
-    cap_n = config.max_source_points
-    if 0 < cap_n < src.capacity:
-        # TPU knob (0 = all points, PCL behavior): strided uniform
-        # subsample of the SOLVE's source — every sweep is linear in the
-        # source count and an LLS pose from n/2 well-spread points moves
-        # by ~sqrt(2) of its noise floor, not its accuracy floor. The
-        # caller still transforms/merges the FULL cloud; fitness/RMSE
-        # then describe the subsample (same estimator, fewer samples).
-        step = -(-src.capacity // cap_n)
-        src = jax.tree.map(lambda x: x[::step], src)
+    # TPU knob (0 = all points, PCL behavior): strided uniform subsample
+    # of the SOLVE's source — every sweep is linear in the source count
+    # and an LLS pose from n/2 well-spread points moves by ~sqrt(2) of
+    # its noise floor, not its accuracy floor. The caller still
+    # transforms/merges the FULL cloud; fitness/RMSE then describe the
+    # subsample (same estimator, fewer samples).
+    src = _stride_cloud(src, config.max_source_points)
 
     p2l = config.variant == "point_to_plane"
     if p2l and tgt.normal is None:

@@ -203,3 +203,122 @@ def test_chain_rescue_scan_loop_agree(use_scan):
     # rescue must pull every pair inside ~1 cm of ground truth
     for i in range(2):
         assert np.abs(t[i] - gts[i]).max() < 0.012, (use_scan, i)
+
+
+def _aliased_lines_scene(spacing=0.05, shift=-0.035, seed=3):
+    """Edge-like geometry with a texture-resolvable aliasing trap.
+
+    Parallel lines along x on the z=1 plane (normals +z), ``spacing``
+    apart in y — the unit-scale model of the `combined` scenario's edge
+    clouds. The source is the same structure shifted IN-PLANE by
+    ``shift`` in y (beyond the 1 cm fine cap, within the 10 cm rescue
+    cap, past half the line spacing): the nearest GEOMETRIC alignment
+    snaps to the wrong line (error = spacing + shift), while the smooth
+    intensity field varying along y identifies the true line."""
+    rng = np.random.default_rng(seed)
+    xs = np.arange(-0.5, 0.5, 0.002, dtype=np.float32)
+    ys = np.arange(-0.25, 0.2501, spacing, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack(
+        [gx.ravel(), gy.ravel(), np.ones(gx.size, np.float32)], -1
+    )
+
+    def intensity(w):
+        # luma in [0,1]; Cloud.rgb carries 0..255 (ops/colorgrad.py::
+        # intensity divides by 255 — storing [0,1] here once hid the
+        # color term entirely: di shrank 255x below the gradient term
+        # and the "colored" escape snapped geometrically)
+        return (
+            0.5
+            + 0.25 * np.sin(13.0 * w[:, 1])
+            + 0.10 * np.sin(7.0 * w[:, 0])
+        )
+
+    def grad(w):
+        return np.stack(
+            [
+                0.10 * 7.0 * np.cos(7.0 * w[:, 0]),
+                0.25 * 13.0 * np.cos(13.0 * w[:, 1]),
+                np.zeros(len(w), np.float32),
+            ],
+            -1,
+        ).astype(np.float32)
+
+    n = len(pts)
+    tgt = Cloud(
+        xyz=jnp.asarray(pts),
+        rgb=jnp.asarray(
+            np.repeat(
+                255.0 * intensity(pts)[:, None], 3, 1
+            ).astype(np.float32)
+        ),
+        valid=jnp.ones((n,), bool),
+        normal=jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3)
+        ),
+        cgrad=jnp.asarray(grad(pts)),
+    )
+    # source: x-jittered resampling of the same lines, expressed in a
+    # frame shifted by -shift (so the TRUE correction is +shift in y)
+    src_pts = pts.copy()
+    src_pts[:, 0] += rng.uniform(-0.001, 0.001, n).astype(np.float32)
+    world = src_pts.copy()
+    src_pts[:, 1] -= shift
+    src = Cloud(
+        xyz=jnp.asarray(src_pts),
+        rgb=jnp.asarray(
+            np.repeat(
+                255.0 * intensity(world)[:, None], 3, 1
+            ).astype(np.float32)
+        ),
+        valid=jnp.ones((n,), bool),
+    )
+    t_true = np.eye(4, dtype=np.float32)
+    t_true[1, 3] = shift
+    return src, tgt, t_true
+
+
+def test_rescue_escape_inherits_colored_residual():
+    """REGRESSION PIN for the r3 'rescue variant pin' incident: the
+    wide-cap escape solve must inherit the preset's residual. A pinned
+    point-to-point escape snaps the aliased-lines scene to the WRONG
+    line (passing the keep-gate with a full inlier set — exactly how
+    the pin regressed `combined` 7.8e-2 -> 1.3e-1 on-chip); the
+    inherited colored-p2l escape recovers the true in-plane shift."""
+    from rspc_tpu.registration.pairsteps import _rescue_from
+
+    src, tgt, t_true = _aliased_lines_scene()
+    colored_cfg = ICPConfig(
+        variant="point_to_plane",
+        max_iterations=100,
+        max_correspondence_distance=0.01,
+        transformation_epsilon=1e-12,
+        euclidean_fitness_epsilon=1e-12,
+        mse_threshold_absolute=1e-16,
+        huber_delta=0.003,
+        color_weight=2.0,
+        target_chunk=2048,
+        use_pallas=False,
+        compute_fitness=False,
+    )
+    n_inl = jnp.asarray(0, jnp.int32)  # collapsed fine stage: gate fires
+    rel_colored, fired = _rescue_from(
+        src, tgt, n_inl, colored_cfg, cap=0.1, iters=8, thresh=0.55
+    )
+    assert bool(fired)
+    err_colored = np.abs(np.asarray(rel_colored) - t_true).max()
+    assert err_colored < 5e-3, err_colored
+
+    pinned_cfg = dataclasses.replace(
+        colored_cfg,
+        variant="point_to_point",
+        huber_delta=None,
+        color_weight=0.0,
+    )
+    rel_pinned, fired_p = _rescue_from(
+        src, tgt, n_inl, pinned_cfg, cap=0.1, iters=8, thresh=0.55
+    )
+    assert bool(fired_p)
+    err_pinned = np.abs(np.asarray(rel_pinned) - t_true).max()
+    # the geometric escape lands a full line-spacing away (or refuses)
+    assert err_pinned > 1e-2, err_pinned
