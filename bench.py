@@ -17,6 +17,9 @@ sequence's exact ground-truth poses — an oracle the reference never had.
 from __future__ import annotations
 
 import json
+import logging
+import os
+import re
 import sys
 import time
 
@@ -29,9 +32,65 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+class _CompileLog(logging.Handler):
+    """Collects jax's per-program compile/cache events (VERDICT r3 #1:
+    make the cold-start cost attributable). With jax_log_compiles on,
+    jax._src.interpreters.pxla logs 'Finished XLA compilation of <name>
+    in <secs> sec' and jax._src.compiler logs persistent-cache
+    hits/misses, all at WARNING."""
+
+    def __init__(self):
+        super().__init__()
+        self.compiles = []   # (name, seconds)
+        self.hits = []       # program names served from the persistent cache
+        self.misses = []
+
+    def emit(self, rec):
+        msg = rec.getMessage()
+        m = re.search(r"Finished XLA compilation of (\S+) in ([\d.]+) sec", msg)
+        if m:
+            self.compiles.append((m.group(1), float(m.group(2))))
+            return
+        m = re.search(r"Persistent compilation cache hit for '([^']+)'", msg)
+        if m:
+            self.hits.append(m.group(1))
+            return
+        m = re.search(r"PERSISTENT COMPILATION CACHE MISS for '([^']+)'", msg)
+        if m:
+            self.misses.append(m.group(1))
+
+    def install(self):
+        import jax
+
+        jax.config.update("jax_log_compiles", True)
+        # NOTE: the 'Finished XLA compilation' line is emitted by
+        # jax._src.dispatch in this jax version (verified against the
+        # live log); pxla/compiler kept for version drift.
+        for name in (
+            "jax._src.dispatch",
+            "jax._src.interpreters.pxla",
+            "jax._src.compiler",
+        ):
+            lg = logging.getLogger(name)
+            lg.addHandler(self)
+            lg.setLevel(logging.WARNING)
+        return self
+
+    def report(self):
+        for name, secs in sorted(self.compiles, key=lambda x: -x[1]):
+            if secs >= 0.5:
+                log(f"  compile {secs:8.2f}s  {name}")
+        log(
+            f"  persistent cache: {len(self.hits)} hits, "
+            f"{len(self.misses)} misses"
+        )
+
+
 def main():
     t_start = time.time()
     import jax
+
+    clog = _CompileLog().install()
 
     from rspc_tpu.capture.synthetic import SyntheticSequence
     from rspc_tpu.ops.deproject import Intrinsics
@@ -110,7 +169,9 @@ def main():
     # Warmup (compile)
     t0 = time.time()
     scheme, result = run()
-    log(f"warmup (incl. compile): {time.time()-t0:.2f}s")
+    warmup_s = time.time() - t0
+    log(f"warmup (incl. compile): {warmup_s:.2f}s")
+    clog.report()
 
     # Timed steady-state runs (min of several: the axon tunnel to the
     # chip adds multi-hundred-ms jitter between invocations). The tunnel
@@ -159,6 +220,62 @@ def main():
             f"({time.time()-t0:.1f}s)"
         )
 
+    # On-chip pytest lane (VERDICT r3 #3): the compiled-lowering subset
+    # (`-m tpu`) runs on the real chip so a Pallas/fused-chain lowering
+    # regression surfaces in the recorded bench, not just in CPU
+    # interpret mode. Subprocess: the lane needs RSPC_ONCHIP_TESTS=1
+    # before jax backend init. Skippable for quick local loops with
+    # RSPC_BENCH_NO_LANE=1.
+    tpu_lane = "skipped (non-tpu backend)"
+    if jax.default_backend() == "tpu" and not os.environ.get(
+        "RSPC_BENCH_NO_LANE"
+    ):
+        import subprocess
+
+        t0 = time.time()
+        env = dict(os.environ, RSPC_ONCHIP_TESTS="1")
+        try:
+            p = subprocess.run(
+                [sys.executable, "-m", "pytest", "-m", "tpu", "-q",
+                 "--no-header", "-p", "no:cacheprovider"],
+                capture_output=True, timeout=1800, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            tail = (p.stdout.strip().splitlines() or [""])[-1]
+            tpu_lane = f"{'ok' if p.returncode == 0 else 'FAIL'}: {tail}"
+            if p.returncode != 0:
+                log(p.stdout[-3000:])
+        except Exception as e:
+            tpu_lane = f"error: {e}"
+        log(f"on-chip pytest lane: {tpu_lane} ({time.time()-t0:.1f}s)")
+
+    # Warm-cold-start proof (VERDICT r3 #1): a FRESH process registering
+    # the same workload must hit the persistent compile cache this
+    # process just populated — that is exactly the one-shot CLI user's
+    # experience and the driver's next bench run. Reported as the child's
+    # own warmup (render excluded) so tunnel/render noise doesn't cloud
+    # the cache question.
+    warm_warmup_s = None
+    if jax.default_backend() == "tpu":
+        import subprocess
+
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--warm-probe"],
+                capture_output=True, timeout=900, text=True,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    warm_warmup_s = json.loads(line)["warm_warmup_s"]
+        except Exception as e:
+            log(f"warm-probe subprocess failed: {e}")
+        log(
+            f"warm-cache fresh-process probe: warmup "
+            f"{warm_warmup_s if warm_warmup_s is None else round(warm_warmup_s, 2)}s"
+            f" (subprocess total {time.time()-t0:.1f}s incl. imports+render)"
+        )
+
     # Accuracy vs ground truth (composed coarse+fine+refine transforms)
     totals = np.asarray(scheme.total_transforms)
     errs = [
@@ -182,14 +299,57 @@ def main():
                 "value": round(value, 4),
                 "unit": "s",
                 "vs_baseline": round(target / value, 3),
+                # floor-subtracted device wall (VERDICT r3 #8): the
+                # headline value carries one trivial-dispatch round trip
+                # of tunnel latency; this is the number that survives
+                # tunnel weather for round-over-round comparison.
+                "value_device": round(max(value - floor_ms / 1e3, 0.0), 4),
                 "transform_err_vs_gt": max_err,
                 "all_converged": all(converged),
                 "nn_kernel_selfcheck": nn_selfcheck,
                 "dispatch_floor_ms": round(floor_ms, 2),
+                "warmup_s": round(warmup_s, 2),
+                "compile_s_total": round(sum(s for _, s in clog.compiles), 2),
+                "cache_hits": len(clog.hits),
+                "cache_misses": len(clog.misses),
+                "warm_warmup_s": warm_warmup_s,
+                "tpu_pytest_lane": tpu_lane,
             }
         )
     )
 
 
+def warm_probe():
+    """Fresh-process cache probe (spawned by main): render + one
+    registration, print the warmup seconds as JSON."""
+    import jax
+
+    from rspc_tpu.capture.synthetic import SyntheticSequence
+    from rspc_tpu.ops.deproject import Intrinsics
+    from rspc_tpu.presets import north_star_config
+    from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
+
+    clog = _CompileLog().install()
+    seq = SyntheticSequence(
+        n_frames=10, yaw_step=-0.08, intr=Intrinsics.simple(640, 480)
+    )
+    clouds = seq.clouds()
+    device_sync(clouds[-1].xyz)
+    t0 = time.time()
+    scheme = NDTEdgeBasedRegistration(rads=-0.08, config=north_star_config())
+    result = scheme.registration(clouds)
+    device_sync(result.xyz)
+    warm = time.time() - t0
+    clog.report()
+    print(json.dumps({
+        "warm_warmup_s": round(warm, 2),
+        "cache_hits": len(clog.hits),
+        "cache_misses": len(clog.misses),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--warm-probe" in sys.argv:
+        warm_probe()
+    else:
+        main()

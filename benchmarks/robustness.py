@@ -204,7 +204,10 @@ def main():
                     r = s.registration(clouds)
                 elif scheme_name == "ndt_edge_color":
                     # map anchoring + the colored-ICP residual in the
-                    # anchor stages: in-plane observability from texture
+                    # FINE chain stage (icp.color_weight +
+                    # edge.carry_cgrad; anchor-stage color is a separate,
+                    # not-enabled variant — see RESULTS.md): in-plane
+                    # observability from texture
                     # where the geometric plane residual is blind (the
                     # 'combined' drift wall — fine-cap edge inliers
                     # collapse and p2l refuses to move along the wall)

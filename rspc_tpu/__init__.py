@@ -88,8 +88,21 @@ def _cache_is_safe() -> bool:
     return first in ("tpu", "axon")
 
 
-if not _os.environ.get("RSPC_NO_CACHE") and _cache_is_safe():
-    enable_compilation_cache()
+if not _os.environ.get("RSPC_NO_CACHE"):
+    if _cache_is_safe():
+        enable_compilation_cache()
+    elif not _os.environ.get("JAX_PLATFORMS", "").strip():
+        # A real TPU host that doesn't export JAX_PLATFORMS silently
+        # loses the cross-process compile cache (minutes-long cold
+        # compiles per CLI run) — say so once instead of failing quiet.
+        import logging as _logging
+
+        _logging.getLogger(__name__).info(
+            "persistent XLA compile cache disabled: JAX_PLATFORMS is "
+            "unset (cache is TPU-only; see _cache_is_safe). On a TPU "
+            "host, export JAX_PLATFORMS=tpu or call "
+            "rspc_tpu.enable_compilation_cache() explicitly."
+        )
 
 from rspc_tpu.cloud import Cloud, OrganizedCloud  # noqa: F401
 from rspc_tpu.config import (  # noqa: F401

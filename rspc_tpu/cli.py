@@ -86,13 +86,28 @@ def capture(prefix: str, frames: int, source_arg: Optional[str] = None) -> None:
         print(f"[RS]    Saved {DATASET}/{prefix}-{i}.pcd")
 
 
+def _view_or_png(cloud, png_path: str, what: str) -> None:
+    """End a workload in a render, matching the reference's live GL loop
+    (``--edges`` main.cpp:70-73, ``--registration`` main.cpp:96-98): on
+    a TTY run the interactive terminal viewer (same state machine as
+    ``--view``); headless/CI stdin writes a PNG with the same camera."""
+    if sys.stdin.isatty():
+        from rspc_tpu.viz.interactive import interactive_view
+
+        interactive_view(cloud, png_path=png_path)
+    else:
+        from rspc_tpu.viz.render import render_to_png
+
+        render_to_png(png_path, cloud)
+    print(f"[PCL] {what} saved to {png_path}")
+
+
 def edges(filename: str) -> None:
-    """``--edges``: extract RGB-edge features from dataset/FILE and render
-    (main.cpp:58-74)."""
+    """``--edges``: extract RGB-edge features from dataset/FILE and end
+    in the render loop (main.cpp:58-74)."""
     from rspc_tpu.cloud import OrganizedCloud
     from rspc_tpu.io.pcd import load_pcd
     from rspc_tpu.ops.edges import extract_edge_features
-    from rspc_tpu.viz.render import render_to_png
 
     cloud = load_pcd(os.path.join(DATASET, filename))
     if not isinstance(cloud, OrganizedCloud):
@@ -100,8 +115,7 @@ def edges(filename: str) -> None:
         raise SystemExit(1)
     result = extract_edge_features(cloud)
     out = os.path.join(DATASET, filename + ".edges.png")
-    render_to_png(out, result)
-    print(f"[PCL] Edge render saved to {out}")
+    _view_or_png(result, out, "Edge render")
 
 
 def registration(prefix: str, scheme, frames: int) -> None:
@@ -110,16 +124,13 @@ def registration(prefix: str, scheme, frames: int) -> None:
     dataset/{prefix}-registration (no extension — reference quirk), render."""
     from rspc_tpu.io.dataset import load_dataset_clouds, registration_output_path
     from rspc_tpu.io.pcd import save_pcd
-    from rspc_tpu.viz.render import render_to_png
 
     clouds = load_dataset_clouds(prefix, frames, DATASET)
     result = scheme.registration(clouds)
     out = registration_output_path(prefix, DATASET)
     save_pcd(out, result, keep_invalid=False)
     print(f"[PCL] Saved {out}")
-    png = out + ".png"
-    render_to_png(png, result)
-    print(f"[PCL] Render saved to {png}")
+    _view_or_png(result, out + ".png", "Render")
 
 
 def viewer(name: str) -> None:

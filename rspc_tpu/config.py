@@ -106,6 +106,16 @@ class NDTConfig:
     outlier_ratio: float = 0.55           # PCL default
     min_points_per_voxel: int = 6         # PCL VoxelGridCovariance default
     line_search_max_iterations: int = 10  # PCL computeStepLengthMT max
+    # PCL-exact line search (parity instrument, VERDICT r3 #2): refresh
+    # the voxel neighborhood at EVERY line-search trial (PCL's
+    # computeStepLengthMT calls computeDerivatives — and thereby
+    # radiusSearch — per trial) and run the full More-Thuente trial
+    # selection (psi/phi auxiliary switching, cubic/quadratic/secant
+    # interpolation, interval update cases U1-U3) instead of the shipped
+    # safeguarded bisection against a frozen neighborhood. Costs one
+    # neighborhood gather per trial; measured deltas vs the frozen mode
+    # are recorded in RESULTS.md (the divergence PARITY.md X2 documents).
+    pcl_exact_line_search: bool = False
     # Score neighborhood per source point: 27 = full 3^3 adjacency
     # (exactly PCL's radiusSearch(resolution), the default); 7 = center +
     # faces (ndt_omp's DIRECT7 — ~4x fewer gathers in the hot path for

@@ -201,8 +201,9 @@ def detect_keypoints(
     units). Fixed capacity K = max_keypoints via top-k |DoG| response
     across ALL octaves (each octave contributes up to K candidates; DoG
     magnitudes are approximately scale-invariant, so one top-k is a fair
-    merge). Octaves whose image would fall below 48 px on a side are
-    statically skipped.
+    merge). Octaves > 0 whose image would fall below 48 px on a side are
+    statically skipped; octave 0 always runs (a tiny image yields an
+    all-invalid result, not an error).
 
     Multi-octave closes the measured X8 scale gap (RESULTS.md): with one
     octave the detector covers only sigma in [2.0, 3.2], so a keypoint
@@ -215,7 +216,10 @@ def detect_keypoints(
     base = img
     for o in range(num_octaves):
         h, w = base.shape
-        if min(h, w) < 48:
+        # the 48 px floor only gates octaves > 0: octave 0 always runs so
+        # tiny inputs return an (all-invalid) result instead of crashing
+        # on an empty concatenate
+        if o > 0 and min(h, w) < 48:
             break
         xy, sc, valid, sig, next_base = _detect_octave(
             base, max_keypoints, num_scales, contrast_threshold,

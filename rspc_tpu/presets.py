@@ -34,12 +34,14 @@ def north_star_config() -> PipelineConfig:
     """Reference algorithmic defaults with TPU capacity/accuracy knobs
     sized for the 10-frame 640x480 north-star workload."""
     return PipelineConfig(
-        # fine-stage solve on an 8192-point stride of the 16384-cap edge
-        # cloud: the sweeps are linear in the source count and the LLS
-        # pose from half the (well-spread) edge points is unchanged —
-        # bench err identical (3.29e-4) at ~8% less wall; the full cloud
-        # still merges. 4096 was measured to start moving the err
-        # (3.4e-4). Per the r2 "2048-NDT-subsample" lesson the full
+        # fine-stage source stride: _stride_cloud keeps
+        # cap/ceil(cap/max) points of the VOXEL-DOWNSAMPLED edge cloud
+        # (10240-cap here, so step 2 -> 5120 points kept), not 8192 of
+        # the raw 16384-cap edge cloud. The sweeps are linear in the
+        # source count and the LLS pose from half the (well-spread)
+        # edge points is unchanged — bench err identical (3.29e-4) at
+        # ~8% less wall; the full cloud still merges. 4096 was measured
+        # to start moving the err (3.4e-4). Per the r2 "2048-NDT-subsample" lesson the full
         # matrix WAS re-run: geometric hard rows are unchanged
         # (partial_overlap map 3.65e-3) but loop_drift cells pay 10-20%
         # (map 2.16e-2 -> 2.58e-2) — so robust_config() unpins this back

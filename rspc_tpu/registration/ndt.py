@@ -685,6 +685,176 @@ def _more_thuente(vg, p, direction, phi0, g0, step_init, step_max, config: NDTCo
     return a_result, direction
 
 
+def _more_thuente_exact(vg, p, direction, phi0, g0, step_init, step_max, config: NDTConfig):
+    """Full More-Thuente line search, PCL computeStepLengthMT semantics
+    (pcl/registration/impl/ndt.hpp; cited constructs: Sun & Yuan 2006 eq.
+    2.4.2/2.4.5/2.4.52/2.4.56; More & Thuente 1994 Update Algorithm and
+    Trial Value Selection). Differences from :func:`_more_thuente` (the
+    shipped fast mode):
+
+    * ``vg`` is expected to REFRESH the voxel neighborhood at every
+      trial (the caller passes a fresh-lookup closure), matching PCL's
+      per-trial computeDerivatives/radiusSearch.
+    * Trial values come from the MT cubic/quadratic/secant interpolants
+      with the psi->phi auxiliary-function switch and interval update
+      cases U1-U3 — not safeguarded bisection.
+    * Termination and fallback match PCL: the final (possibly
+      non-Wolfe) trial value is returned as-is; there is no
+      improved-over-phi0 gate.
+
+    All state rides a single lax.while_loop; every trial costs one
+    objective+gradient sweep including its neighborhood query.
+    """
+    mu, nu = 1e-4, 0.9
+    step_min = config.transformation_epsilon / 2.0
+    one = jnp.ones((), p.dtype)
+
+    dphi0 = jnp.dot(g0, direction)
+    # PCL: a non-descent direction reverses the step (d_phi_0 == 0
+    # returns step 0 — handled by the improved/descent math below, where
+    # a zero gradient yields psi_t > 0 for all a and the clamp floor).
+    reverse = dphi0 > 0
+    direction = jnp.where(reverse, -direction, direction)
+    dphi0 = jnp.where(reverse, -dphi0, dphi0)
+    zero_grad = dphi0 == 0
+
+    def psi_of(a, phi_a):
+        return phi_a - phi0 - mu * a * dphi0
+
+    def dpsi_of(dphi_a):
+        return dphi_a - mu * dphi0
+
+    def trial(a):
+        f, g = vg(p + a * direction)
+        return f, jnp.dot(g, direction)
+
+    def cubic_min(a_l, f_l, g_l, a_t, f_t, g_t):
+        # minimizer of the cubic interpolating (a_l,f_l,g_l),(a_t,f_t,g_t)
+        # [Sun & Yuan 2006, eq. 2.4.52/2.4.56 as used by PCL]
+        z = 3 * (f_t - f_l) / (a_t - a_l) - g_t - g_l
+        w = jnp.sqrt(jnp.maximum(z * z - g_t * g_l, 0.0))
+        denom = g_t - g_l + 2 * w
+        safe = jnp.abs(denom) > 1e-30
+        ac = a_l + (a_t - a_l) * (w - g_l - z) / jnp.where(safe, denom, one)
+        return jnp.where(safe, ac, a_t)
+
+    def quad_min(a_l, f_l, g_l, a_t, f_t):
+        # minimizer of the quadratic interpolating f_l, g_l, f_t [eq 2.4.2]
+        denom = g_l - (f_l - f_t) / (a_l - a_t)
+        safe = jnp.abs(denom) > 1e-30
+        aq = a_l - 0.5 * (a_l - a_t) * g_l / jnp.where(safe, denom, one)
+        return jnp.where(safe, aq, a_t)
+
+    def secant_min(a_l, g_l, a_t, g_t):
+        # minimizer of the quadratic interpolating g_l, g_t [eq 2.4.5]
+        denom = g_l - g_t
+        safe = jnp.abs(denom) > 1e-30
+        return jnp.where(
+            safe, a_l - (a_l - a_t) / jnp.where(safe, denom, one) * g_l, a_t
+        )
+
+    def trial_value(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+        """PCL trialValueSelectionMT, cases 1-4, branch-free."""
+        a_c = cubic_min(a_l, f_l, g_l, a_t, f_t, g_t)
+        a_q = quad_min(a_l, f_l, g_l, a_t, f_t)
+        a_s = secant_min(a_l, g_l, a_t, g_t)
+        # Case 1: f_t > f_l
+        c1 = jnp.where(
+            jnp.abs(a_c - a_l) < jnp.abs(a_q - a_l), a_c, 0.5 * (a_q + a_c)
+        )
+        # Case 2: f_t <= f_l, g_t * g_l < 0
+        c2 = jnp.where(jnp.abs(a_c - a_t) >= jnp.abs(a_s - a_t), a_c, a_s)
+        # Case 3: |g_t| <= |g_l| (same-sign gradients, still decreasing)
+        c3_next = jnp.where(jnp.abs(a_c - a_t) < jnp.abs(a_s - a_t), a_c, a_s)
+        c3 = jnp.where(
+            a_t > a_l,
+            jnp.minimum(a_t + 0.66 * (a_u - a_t), c3_next),
+            jnp.maximum(a_t + 0.66 * (a_u - a_t), c3_next),
+        )
+        # Case 4: cubic against the UPPER endpoint
+        c4 = cubic_min(a_u, f_u, g_u, a_t, f_t, g_t)
+        return jnp.where(
+            f_t > f_l,
+            c1,
+            jnp.where(
+                g_t * g_l < 0,
+                c2,
+                jnp.where(jnp.abs(g_t) <= jnp.abs(g_l), c3, c4),
+            ),
+        )
+
+    def update_interval(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+        """PCL updateIntervalMT: cases U1-U3 (+ converged otherwise)."""
+        u1 = f_t > f_l
+        u2 = ~u1 & (g_t * (a_l - a_t) > 0)
+        u3 = ~u1 & (g_t * (a_l - a_t) < 0)
+        new_a_l = jnp.where(u2 | u3, a_t, a_l)
+        new_f_l = jnp.where(u2 | u3, f_t, f_l)
+        new_g_l = jnp.where(u2 | u3, g_t, g_l)
+        new_a_u = jnp.where(u1, a_t, jnp.where(u3, a_l, a_u))
+        new_f_u = jnp.where(u1, f_t, jnp.where(u3, f_l, f_u))
+        new_g_u = jnp.where(u1, g_t, jnp.where(u3, g_l, g_u))
+        converged = ~(u1 | u2 | u3)
+        return new_a_l, new_f_l, new_g_l, new_a_u, new_f_u, new_g_u, converged
+
+    # endpoints initialized from psi at a=0 (psi(0)=0, psi'(0)=(1-mu)phi'(0))
+    z = jnp.zeros((), p.dtype)
+    a_l, f_l, g_l = z, z, dpsi_of(dphi0)
+    a_u, f_u, g_u = z, z, dpsi_of(dphi0)
+
+    a_t = jnp.clip(step_init, step_min, step_max)
+    phi_t, dphi_t = trial(a_t)
+    psi_t, dpsi_t = psi_of(a_t, phi_t), dpsi_of(dphi_t)
+
+    def cond(st):
+        (it, a_l, f_l, g_l, a_u, f_u, g_u, a_t, phi_t, dphi_t, psi_t,
+         dpsi_t, open_iv, iv_conv) = st
+        wolfe = (psi_t <= 0) & (dphi_t <= -nu * dphi0)
+        return (
+            ~iv_conv
+            & (it < config.line_search_max_iterations)
+            & ~wolfe
+            & ~zero_grad
+        )
+
+    def body(st):
+        (it, a_l, f_l, g_l, a_u, f_u, g_u, a_t, phi_t, dphi_t, psi_t,
+         dpsi_t, open_iv, iv_conv) = st
+        # select the next trial from psi (open interval) or phi (closed)
+        f_sel = jnp.where(open_iv, psi_t, phi_t)
+        g_sel = jnp.where(open_iv, dpsi_t, dphi_t)
+        a_new = trial_value(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_sel, g_sel)
+        a_new = jnp.clip(a_new, step_min, step_max)
+        phi_n, dphi_n = trial(a_new)
+        psi_n, dpsi_n = psi_of(a_new, phi_n), dpsi_of(dphi_n)
+        # psi -> phi switch: once psi <= 0 with psi' >= 0, close the
+        # interval and convert the stored endpoint values from psi to phi
+        close = open_iv & (psi_n <= 0) & (dpsi_n >= 0)
+        # PCL's literal conversion is `f += phi_0 - mu*d_phi_0*a` (the
+        # textbook inverse of psi is `+ mu*d_phi_0*a`; PCL's sign on that
+        # O(mu)=1e-4 term differs, and a_l is usually 0 at switch time so
+        # the term mostly vanishes). Mirrored as-is: this mode exists to
+        # reproduce PCL's behavior, quirks included.
+        f_l = jnp.where(close, f_l + phi0 - mu * dphi0 * a_l, f_l)
+        g_l = jnp.where(close, g_l + mu * dphi0, g_l)
+        f_u = jnp.where(close, f_u + phi0 - mu * dphi0 * a_u, f_u)
+        g_u = jnp.where(close, g_u + mu * dphi0, g_u)
+        open_n = open_iv & ~close
+        fu_t = jnp.where(open_n, psi_n, phi_n)
+        gu_t = jnp.where(open_n, dpsi_n, dphi_n)
+        a_l, f_l, g_l, a_u, f_u, g_u, iv_conv = update_interval(
+            a_l, f_l, g_l, a_u, f_u, g_u, a_new, fu_t, gu_t
+        )
+        return (it + 1, a_l, f_l, g_l, a_u, f_u, g_u, a_new, phi_n,
+                dphi_n, psi_n, dpsi_n, open_n, iv_conv)
+
+    st = (jnp.int32(0), a_l, f_l, g_l, a_u, f_u, g_u, a_t, phi_t, dphi_t,
+          psi_t, dpsi_t, jnp.bool_(True), jnp.bool_(False))
+    st = jax.lax.while_loop(cond, body, st)
+    a_fin = jnp.where(zero_grad, jnp.zeros((), p.dtype), st[7])
+    return a_fin, direction
+
+
 @partial(jax.jit, static_argnames=("config", "psum_axis"))
 def ndt_align(
     src: Cloud,
@@ -742,10 +912,20 @@ def ndt_align(
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, -g)
         norm = jnp.linalg.norm(delta)
         direction = delta / jnp.maximum(norm, 1e-30)
-        vg = lambda q: fixed_value_grad(q, mu, ic, mask)
-        step, direction = _more_thuente(
-            vg, p, direction, f0, g, norm, config.step_size, config
-        )
+        if config.pcl_exact_line_search:
+            # PCL-exact: every line-search trial refreshes the voxel
+            # neighborhood (computeStepLengthMT -> computeDerivatives ->
+            # radiusSearch per trial) and runs the full More-Thuente
+            # trial selection. One gather per trial instead of zero.
+            vg = lambda q: fixed_value_grad(q, *lookup(q))
+            step, direction = _more_thuente_exact(
+                vg, p, direction, f0, g, norm, config.step_size, config
+            )
+        else:
+            vg = lambda q: fixed_value_grad(q, mu, ic, mask)
+            step, direction = _more_thuente(
+                vg, p, direction, f0, g, norm, config.step_size, config
+            )
         new_p = p + step * direction
         new_it = it + 1
         done = (step * jnp.ones(()) < config.transformation_epsilon) | (

@@ -303,9 +303,15 @@ def _maybe_rescue(fine, fine_aligned, target, icp_cfg, thresh, cap, iters):
     cost every clean pair an extra sweep)."""
     if thresh <= 0.0:
         return fine, fine_aligned
-    if icp_cfg.compute_fitness:
+    if icp_cfg.compute_fitness and icp_cfg.max_source_points <= 0:
         n_inl = fine.n_correspondences
     else:
+        # With max_source_points > 0 the solve strides its source, so
+        # fine.n_correspondences counts inliers over the strided subset
+        # while _rescue_from normalizes by the FULL cloud's valid count —
+        # the gate would read ~stride-ratio low and fire on clean pairs.
+        # Recount on the full aligned cloud instead (one extra sweep,
+        # only on strided-fitness configs).
         n_inl, _ = _inlier_stats(
             fine_aligned, target, icp_cfg.max_correspondence_distance,
             icp_cfg.use_pallas,

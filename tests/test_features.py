@@ -38,6 +38,19 @@ def test_detect_keypoints_on_blobs():
     assert d.max() <= 8.0
 
 
+def test_detect_keypoints_tiny_image_no_crash():
+    """Images below the 48 px octave floor must still return a result
+    (octave 0 runs unconditionally; ADVICE r3): a 32x40 input previously
+    crashed on an empty concatenate."""
+    img = np.zeros((32, 40), np.float32)
+    img[12:15, 18:21] = 200.0
+    xy, score, valid, sigma = detect_keypoints(
+        jnp.asarray(img), max_keypoints=16
+    )
+    assert xy.shape == (16, 2)
+    assert np.asarray(valid).dtype == bool  # well-formed, possibly empty
+
+
 def test_descriptor_match_translated_image():
     img, _ = _corner_image(seed=1)
     shift = 5

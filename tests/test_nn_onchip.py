@@ -33,6 +33,7 @@ def test_pallas_interpret_adversarial():
     assert not failures, failures
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     jax.default_backend() != "tpu",
     reason="compiled Pallas lowering needs a TPU backend",

@@ -107,3 +107,28 @@ def test_cli_registration_roundtrip(in_tmp):
     assert cli.main(["rspc", "--registration", "t", str(deg), "2"]) == 0
     assert os.path.exists("dataset/t-registration")  # quirk: no extension
     assert os.path.exists("dataset/t-registration.png")
+
+
+def test_cli_edges_and_registration_go_interactive_on_tty(in_tmp, monkeypatch):
+    """TTY parity (VERDICT r3 #9): the reference's --edges and
+    --registration paths END in a live render loop (main.cpp:70-73,
+    96-98) — on a TTY the CLI must enter the interactive terminal
+    viewer, not just write a PNG. CI stdin is not a TTY, so fake it and
+    capture the viewer call."""
+    import rspc_tpu.viz.interactive as vi
+
+    calls = []
+    monkeypatch.setattr(
+        vi, "interactive_view",
+        lambda cloud, png_path=None, **kw: calls.append(png_path),
+    )
+    monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+
+    seq = SyntheticSequence(n_frames=2, yaw_step=-0.1, intr=Intrinsics.simple(80, 60))
+    os.makedirs("dataset", exist_ok=True)
+    save_dataset_clouds("tty", seq.clouds(), "dataset")
+    assert cli.main(["rspc", "--edges", "tty-0.pcd"]) == 0
+    assert calls == ["dataset/tty-0.pcd.edges.png"]
+    deg = int(round(np.degrees(-0.1)))
+    assert cli.main(["rspc", "--registration", "tty", str(deg), "2"]) == 0
+    assert calls[-1] == "dataset/tty-registration.png"
