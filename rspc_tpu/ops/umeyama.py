@@ -276,7 +276,12 @@ def plane_fit(
         )
         h = h + hc
         g = g + gc
-    if point_mix > 0.0:
+    # ``point_mix`` may be a traced scalar (scan-ified stage schedules
+    # pass per-iteration mixes); the point term is then always included
+    # and a mix of 0.0 adds exactly zero moments. A static float 0.0
+    # still skips the term entirely.
+    include_point = not isinstance(point_mix, (int, float)) or point_mix > 0.0
+    if include_point:
         # Blend in a point-to-point term: scenes whose visible normals
         # span fewer than 3 directions (e.g. a horizontal sweep that
         # never sees floor or ceiling) leave point-to-plane singular

@@ -145,96 +145,134 @@ def _anchor_refine(
 
         i_src = intensity(fulls.rgb).astype(dtype)     # [b, n_pts]
         i_anchor = intensity(anchor.rgb).astype(dtype)  # [cap]
-    before_stats = None
-    for stage_cfg in stages:
-        mcd2 = stage_cfg.max_correspondence_distance**2
-        for _ in range(stage_cfg.max_iterations):
-            d2, idx = nn_flat(cur.reshape(b * n_pts, 3))
-            d2 = d2.reshape(b, n_pts)
-            idx = idx.reshape(b, n_pts)
-            if before_stats is None:
-                # the very first sweep runs at the src0 poses — exactly
-                # the acceptance gate's "before" measurement; reuse it
-                # instead of re-sweeping the anchor at the end
-                before_stats = stats_from(d2, idx, cur)
-            w = (
-                (d2 <= mcd2) & fulls.valid & jnp.isfinite(d2)
-            ).astype(dtype)
-            q = jnp.take(anchor.xyz, idx.reshape(-1), axis=0).reshape(
-                b, n_pts, 3
-            )
-            nrm = jnp.take(anchor.normal, idx.reshape(-1), axis=0).reshape(
-                b, n_pts, 3
-            )
-            w_fit = w
-            if stage_cfg.huber_delta is not None:
-                r = jnp.sum((cur - q) * nrm, axis=-1)
-                w_fit = w * jnp.minimum(
-                    1.0,
-                    stage_cfg.huber_delta / jnp.maximum(jnp.abs(r), 1e-12),
-                )
-            if use_color and stage_cfg.color_weight > 0.0:
-                # colored-ICP rows against the anchor's gradient field —
-                # SAME weighting as registration/icp.py: the photometric
-                # rows start from the RAW correspondence mask ``w`` (not
-                # the geometric-huber-reweighted w_fit; a large plane
-                # residual must not also mute a point's color row) and
-                # get their own color huber
-                g = jnp.take(
-                    anchor.cgrad, idx.reshape(-1), axis=0
-                ).reshape(b, n_pts, 3)
-                di = (
-                    jnp.take(i_anchor, idx.reshape(-1), axis=0).reshape(
-                        b, n_pts
-                    )
-                    - i_src
-                )
-                w_c = w * jnp.asarray(stage_cfg.color_weight, dtype)
-                if stage_cfg.color_huber_delta is not None:
-                    r_c = jnp.sum((cur - q) * g, axis=-1) + di
-                    w_c = w_c * jnp.minimum(
-                        1.0,
-                        stage_cfg.color_huber_delta
-                        / jnp.maximum(jnp.abs(r_c), 1e-12),
-                    )
-                t_inc = jax.vmap(
-                    lambda s, d, nn, ww, gg, dd, wc: plane_fit(
-                        s, d, nn, ww, stage_cfg.point_plane_mix,
-                        cgrad=gg, color_resid=dd, color_weights=wc,
-                    )
-                )(cur, q, nrm, w_fit, g, di, w_c)
-            else:
-                t_inc = jax.vmap(
-                    lambda s, d, nn, ww: plane_fit(
-                        s, d, nn, ww, stage_cfg.point_plane_mix
-                    )
-                )(cur, q, nrm, w_fit)
-            # per-lane trust region (see registration/icp.py)
-            def clip_one(t, c_xyz, c_valid):
-                ang = jnp.arccos(
-                    jnp.clip(
-                        0.5 * (t[0, 0] + t[1, 1] + t[2, 2] - 1.0), -1.0, 1.0
-                    )
-                )
-                span = jnp.sqrt(
-                    jnp.max(
-                        jnp.where(
-                            c_valid,
-                            jnp.sum(
-                                (c_xyz - jnp.mean(c_xyz, axis=0)) ** 2, -1
-                            ),
-                            0.0,
-                        )
-                    )
-                )
-                move = ang * span + jnp.linalg.norm(t[:3, 3])
-                limit = 2.0 * stage_cfg.max_correspondence_distance
-                sc = jnp.minimum(1.0, limit / jnp.maximum(move, 1e-12))
-                return jnp.where(sc < 1.0, _scale_increment(t, sc), t)
 
-            t_inc = jax.vmap(clip_one)(t_inc, cur, fulls.valid)
-            rel = jnp.einsum("bij,bjk->bik", t_inc, rel)
-            cur = jax.vmap(apply_transform)(t_inc, cur)
+    # The stage schedule runs as ONE lax.scan over per-iteration
+    # parameter rows instead of a sum(max_iterations)-fold unrolled
+    # Python loop: the sweep + gather + plane-fit iteration body was
+    # being emitted 6x in the north-star fused program, a large slice
+    # of the ~28 MB executable whose tunnel load dominates warm starts
+    # (VERDICT r3 #1). Stage knobs that vary per iteration ride as
+    # traced scalars; knobs that pick a code PATH stay static and are
+    # harmonized exactly: huber_delta=None == +inf (min(1, inf/|r|) ==
+    # 1), color_weight=0 zeroes the photometric rows, point_mix=0 adds
+    # exactly zero moments — so the fused body computes the identical
+    # math for every schedule.
+    use_huber = any(s.huber_delta is not None for s in stages)
+    use_mix = any(s.point_plane_mix > 0.0 for s in stages)
+    step_rows = []
+    for s in stages:
+        row = (
+            s.max_correspondence_distance**2,
+            s.huber_delta if s.huber_delta is not None else jnp.inf,
+            s.color_weight if use_color else 0.0,
+            s.color_huber_delta
+            if getattr(s, "color_huber_delta", None) is not None
+            else jnp.inf,
+            s.point_plane_mix,
+            2.0 * s.max_correspondence_distance,  # trust-region limit
+        )
+        step_rows.extend([row] * s.max_iterations)
+    n_steps = len(step_rows)
+
+    def iter_body(carry, inp):
+        rel, cur, nb, rb, pb = carry
+        mcd2, hub, cw, chub, mix, limit = inp
+        d2, idx = nn_flat(cur.reshape(b * n_pts, 3))
+        d2 = d2.reshape(b, n_pts)
+        idx = idx.reshape(b, n_pts)
+        # the first sweep runs at the src0 poses — exactly the
+        # acceptance gate's "before" measurement; capture it from the
+        # carry's NaN sentinel instead of re-sweeping at the end
+        sb = stats_from(d2, idx, cur)
+        fresh = jnp.isnan(nb[0])
+        nb, rb, pb = (
+            jnp.where(fresh, sb[0], nb),
+            jnp.where(fresh, sb[1], rb),
+            jnp.where(fresh, sb[2], pb),
+        )
+        w = ((d2 <= mcd2) & fulls.valid & jnp.isfinite(d2)).astype(dtype)
+        q = jnp.take(anchor.xyz, idx.reshape(-1), axis=0).reshape(
+            b, n_pts, 3
+        )
+        nrm = jnp.take(anchor.normal, idx.reshape(-1), axis=0).reshape(
+            b, n_pts, 3
+        )
+        w_fit = w
+        if use_huber:
+            r = jnp.sum((cur - q) * nrm, axis=-1)
+            w_fit = w * jnp.minimum(
+                1.0, hub / jnp.maximum(jnp.abs(r), 1e-12)
+            )
+        if use_color:
+            # colored-ICP rows against the anchor's gradient field —
+            # SAME weighting as registration/icp.py: the photometric
+            # rows start from the RAW correspondence mask ``w`` (not
+            # the geometric-huber-reweighted w_fit; a large plane
+            # residual must not also mute a point's color row) and
+            # get their own color huber
+            g = jnp.take(
+                anchor.cgrad, idx.reshape(-1), axis=0
+            ).reshape(b, n_pts, 3)
+            di = (
+                jnp.take(i_anchor, idx.reshape(-1), axis=0).reshape(
+                    b, n_pts
+                )
+                - i_src
+            )
+            r_c = jnp.sum((cur - q) * g, axis=-1) + di
+            w_c = (
+                w * cw
+                * jnp.minimum(1.0, chub / jnp.maximum(jnp.abs(r_c), 1e-12))
+            )
+            t_inc = jax.vmap(
+                lambda s, d, nn, ww, gg, dd, wc: plane_fit(
+                    s, d, nn, ww, mix if use_mix else 0.0,
+                    cgrad=gg, color_resid=dd, color_weights=wc,
+                )
+            )(cur, q, nrm, w_fit, g, di, w_c)
+        else:
+            t_inc = jax.vmap(
+                lambda s, d, nn, ww: plane_fit(
+                    s, d, nn, ww, mix if use_mix else 0.0,
+                )
+            )(cur, q, nrm, w_fit)
+
+        # per-lane trust region (see registration/icp.py)
+        def clip_one(t, c_xyz, c_valid):
+            ang = jnp.arccos(
+                jnp.clip(
+                    0.5 * (t[0, 0] + t[1, 1] + t[2, 2] - 1.0), -1.0, 1.0
+                )
+            )
+            span = jnp.sqrt(
+                jnp.max(
+                    jnp.where(
+                        c_valid,
+                        jnp.sum(
+                            (c_xyz - jnp.mean(c_xyz, axis=0)) ** 2, -1
+                        ),
+                        0.0,
+                    )
+                )
+            )
+            move = ang * span + jnp.linalg.norm(t[:3, 3])
+            sc = jnp.minimum(1.0, limit / jnp.maximum(move, 1e-12))
+            return jnp.where(sc < 1.0, _scale_increment(t, sc), t)
+
+        t_inc = jax.vmap(clip_one)(t_inc, cur, fulls.valid)
+        rel = jnp.einsum("bij,bjk->bik", t_inc, rel)
+        cur = jax.vmap(apply_transform)(t_inc, cur)
+        return (rel, cur, nb, rb, pb), None
+
+    before_stats = None
+    if n_steps:
+        nan_b = jnp.full((b,), jnp.nan, dtype)
+        (rel, cur, nb0, rb0, pb0), _ = jax.lax.scan(
+            iter_body,
+            (rel, cur, nan_b, nan_b, nan_b),
+            jnp.asarray(step_rows, dtype),
+        )
+        before_stats = (nb0, rb0, pb0)
 
     # Overlap-aware acceptance: refinement must roughly keep its matched
     # points (gate_inlier_keep slack — inliers churn across the radius
