@@ -36,6 +36,77 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def pipeline_delta(args):
+    """Full-registration totals delta: the north-star NDT scheme with the
+    frozen line search vs PCL-exact mode, per robustness scenario. This
+    is the level at which parity is claimed — the fine + anchor stages
+    absorb coarse-stage basin differences, so pair-level deltas (the
+    default mode of this benchmark) overstate the divergence."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from rspc_tpu.capture.synthetic import SyntheticSequence
+    from rspc_tpu.ops.deproject import Intrinsics
+    from rspc_tpu.presets import north_star_config, robust_config
+    from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
+
+    base = (
+        robust_config(anchor_mode="map") if args.robust else north_star_config()
+    )
+    scen = scenarios()
+    rows = []
+    for name in args.scenarios.split(","):
+        kw, _desc = scen[name]
+        kw = dict(kw)
+        yaw = kw.pop("yaw_step", -0.08)
+        frames = (
+            len(kw["yaw_schedule"]) if "yaw_schedule" in kw else 10
+        )
+        kw.setdefault("seed", args.seed)
+        seq = SyntheticSequence(
+            n_frames=frames,
+            yaw_step=yaw,
+            intr=Intrinsics.simple(640, 480),
+            **kw,
+        )
+        clouds = seq.clouds()
+        gts = [np.asarray(seq.gt_transform(i)) for i in range(1, frames)]
+        guess_kw = (
+            {"thetas": seq.thetas()} if "yaw_schedule" in kw else {"rads": yaw}
+        )
+        totals = {}
+        for mode, exact in (("frozen", False), ("exact", True)):
+            cfg = dc.replace(
+                base, ndt=dc.replace(base.ndt, pcl_exact_line_search=exact)
+            )
+            s = NDTEdgeBasedRegistration(config=cfg, **guess_kw)
+            s.registration(clouds)
+            totals[mode] = np.asarray(s.total_transforms)
+        d = float(np.abs(totals["frozen"] - totals["exact"]).max())
+        err = {
+            m: float(
+                max(np.abs(totals[m][i] - gts[i]).max() for i in range(len(gts)))
+            )
+            for m in totals
+        }
+        row = {
+            "scenario": name,
+            "delta_pipeline": d,
+            "err_frozen": err["frozen"],
+            "err_exact": err["exact"],
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    log("\n| scenario | pipeline delta(modes) | max err frozen | max err exact |")
+    log("|---|---|---|---|")
+    for r in rows:
+        log(
+            f"| {r['scenario']} | {r['delta_pipeline']:.2e} "
+            f"| {r['err_frozen']:.2e} | {r['err_exact']:.2e} |"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=3)
@@ -45,7 +116,21 @@ def main():
     )
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="full-registration delta (frozen vs exact NDT coarse stage "
+        "inside the fused chain) instead of standalone pair solves",
+    )
+    ap.add_argument(
+        "--robust",
+        action="store_true",
+        help="with --pipeline: use robust_config(anchor_mode='map') — "
+        "the recommended operating mode on the hard scenarios",
+    )
     args = ap.parse_args()
+    if args.pipeline:
+        return pipeline_delta(args)
 
     import jax.numpy as jnp
 
@@ -53,7 +138,7 @@ def main():
     from rspc_tpu.config import NDTConfig
     from rspc_tpu.ops.deproject import Intrinsics
     from rspc_tpu.ops.edges import extract_edge_features
-    from rspc_tpu.ops.transform import imu_guess_y
+    from rspc_tpu.ops.transform import static_y_guess
     from rspc_tpu.ops.voxel import voxel_downsample
     from rspc_tpu.presets import north_star_config
     from rspc_tpu.registration.bufferops import _rigid_inverse
@@ -72,10 +157,14 @@ def main():
         kw, _desc = scen[name]
         kw = dict(kw)
         kw.setdefault("yaw_step", -0.08)
+        # scheduled (loop) trajectories fix their own frame count
+        frames = (
+            len(kw["yaw_schedule"]) if "yaw_schedule" in kw else args.frames
+        )
         if "seed" in SyntheticSequence.__dataclass_fields__:
             kw.setdefault("seed", args.seed)
         seq = SyntheticSequence(
-            n_frames=args.frames, intr=Intrinsics.simple(640, 480), **kw
+            n_frames=frames, intr=Intrinsics.simple(640, 480), **kw
         )
         clouds = seq.clouds()
         # pipeline-shaped NDT inputs: RGB-canny edge clouds, voxel-downsampled
@@ -88,11 +177,14 @@ def main():
             for c in clouds
         ]
         yaw = kw.get("yaw_schedule")
-        for i in range(1, min(args.pairs + 1, args.frames)):
+        for i in range(1, min(args.pairs + 1, frames)):
             rads = (
                 (yaw[i] - yaw[i - 1]) if yaw is not None else kw["yaw_step"]
             )
-            guess = imu_guess_y(jnp.float32(rads))
+            # per-pair y-rotation guess, the scheme's own convention
+            # (schemes accumulate acc_rads += rads per frame; a single
+            # pair's increment is just rads)
+            guess = static_y_guess(jnp.float32(rads))
             gt_pair = np.asarray(
                 _rigid_inverse(jnp.asarray(seq.gt_transform(i - 1)))
                 @ jnp.asarray(seq.gt_transform(i))
