@@ -17,11 +17,14 @@ component, engineered TPU-first rather than cycle-accurate to OpenCV:
     (ops/match below), not a kd-tree/FLANN approximation.
 
 Documented divergences from OpenCV SIFT: a fixed small number of
-octaves (default 2, vs OpenCV's image-size-derived ~5; each octave has
-fixed shapes so the whole pyramid stays jittable) and no 2x-upsampled
-base octave; descriptors sample full-resolution Gaussian levels of the
-matching absolute sigma (lerped) rather than per-octave subsampled
-grids. Matching behavior downstream (ratio 0.3) is preserved.
+octaves above base (default 2, vs OpenCV's image-size-derived ~5; each
+octave has fixed shapes so the whole pyramid stays jittable);
+descriptors sample full-resolution Gaussian levels of the matching
+absolute sigma (lerped) rather than per-octave subsampled grids. The
+2x-upsampled base octave (OpenCV's octave -1, where most of its
+keypoint density comes from) IS implemented (``first_octave=-1``, the
+default — VERDICT r3 #5). Matching behavior downstream (ratio 0.3) is
+preserved.
 """
 
 from __future__ import annotations
@@ -54,28 +57,40 @@ def _detect_octave(
     num_scales: int,
     contrast_threshold: float,
     edge_ratio: float,
-    first: bool,
+    base_blur: float,
 ):
     """DoG extrema on ONE octave of the (already [0,1]-scaled) image.
 
+    ``base_blur`` is the blur the base image ALREADY carries in this
+    octave's own pixel units: 0.0 for a raw full-resolution base (treated
+    as blur-free, matching the single-octave behavior this helper was
+    refactored from), ~1.0 for a 2x-upsampled base (bilinear upsampling
+    of a raw image behaves like a ~0.5 px blur at source resolution =
+    1.0 px in upsampled units — OpenCV SIFT's assumed camera blur), and
+    1.6 for a chained base (the sigma-3.2 level of the previous octave
+    subsampled 2x). Each pyramid level blurs only by the increment
+    sqrt(s^2 - base_blur^2).
+
     Returns (xy, score, valid, sigma) in THIS octave's pixel/sigma units
-    plus the next octave's base image (the sigma-3.2 Gaussian level
-    subsampled 2x — standard SIFT octave recursion, so the next base
-    carries blur 1.6 in its own units).
+    plus the next octave's base image.
     """
     k = 2.0 ** (1.0 / num_scales)
     sigmas = [1.6 * (k**i) for i in range(num_scales + 3)]
-    if first:
-        # octave 0: the raw image is treated as blur-free (matches the
-        # single-octave behavior this helper was refactored from)
-        gauss = [_blur(img, s) for s in sigmas]
-    else:
-        # later octaves: the base ALREADY carries blur 1.6 (it is the
-        # sigma-3.2 level of the previous octave subsampled 2x), so blur
-        # only by the increment sqrt(s^2 - 1.6^2)
+    if base_blur >= sigmas[0]:
         gauss = [img] + [
-            _blur(img, float(np.sqrt(max(s * s - 1.6 * 1.6, 1e-6))))
+            _blur(
+                img,
+                float(np.sqrt(max(s * s - base_blur * base_blur, 1e-6))),
+            )
             for s in sigmas[1:]
+        ]
+    else:
+        gauss = [
+            _blur(
+                img,
+                float(np.sqrt(max(s * s - base_blur * base_blur, 1e-6))),
+            )
+            for s in sigmas
         ]
     dogs = [gauss[i + 1] - gauss[i] for i in range(len(gauss) - 1)]
     dog = jnp.stack(dogs, axis=0)  # [S+2, H, W]
@@ -184,7 +199,10 @@ def _detect_octave(
 
 
 @partial(
-    jax.jit, static_argnames=("max_keypoints", "num_scales", "num_octaves")
+    jax.jit,
+    static_argnames=(
+        "max_keypoints", "num_scales", "num_octaves", "first_octave"
+    ),
 )
 def detect_keypoints(
     gray: jnp.ndarray,
@@ -193,39 +211,52 @@ def detect_keypoints(
     contrast_threshold: float = 0.02,
     edge_ratio: float = 10.0,
     num_octaves: int = 2,
+    first_octave: int = -1,
 ):
-    """DoG extrema over ``num_octaves`` spatial octaves.
+    """DoG extrema over octaves ``first_octave .. num_octaves-1``.
 
     Returns (xy f32[K,2] base-image pixel coords, score f32[K], valid
     bool[K], sigma f32[K] interpolated keypoint scale in base-image
     units). Fixed capacity K = max_keypoints via top-k |DoG| response
     across ALL octaves (each octave contributes up to K candidates; DoG
     magnitudes are approximately scale-invariant, so one top-k is a fair
-    merge). Octaves > 0 whose image would fall below 48 px on a side are
-    statically skipped; octave 0 always runs (a tiny image yields an
-    all-invalid result, not an error).
+    merge). Octaves above the first whose image would fall below 48 px
+    on a side are statically skipped; the first octave always runs (a
+    tiny image yields an all-invalid result, not an error).
 
+    ``first_octave=-1`` (default) prepends OpenCV SIFT's 2x-upsampled
+    base octave — where most of OpenCV's keypoint density comes from
+    (the measured 2-3x match-count gap, RESULTS.md / VERDICT r3 #5);
+    its keypoints report half-unit coords/sigmas in base-image units.
     Multi-octave closes the measured X8 scale gap (RESULTS.md): with one
     octave the detector covers only sigma in [2.0, 3.2], so a keypoint
     near the range edge in frame A has no detectable partner in a
     rescaled frame B; OpenCV covers ~5 octaves. Reference path:
     /root/reference/src/capture_opencv.hpp:30-48 (cv::SIFT defaults).
     """
+    assert first_octave in (-1, 0), first_octave
     img = gray.astype(jnp.float32) / 255.0
     per = []
     base = img
-    for o in range(num_octaves):
+    if first_octave < 0:
+        h0, w0 = img.shape
+        base = jax.image.resize(img, (2 * h0, 2 * w0), method="linear")
+    for o in range(first_octave, num_octaves):
         h, w = base.shape
-        # the 48 px floor only gates octaves > 0: octave 0 always runs so
-        # tiny inputs return an (all-invalid) result instead of crashing
-        # on an empty concatenate
-        if o > 0 and min(h, w) < 48:
+        # the 48 px floor only gates later octaves: the first always runs
+        # so tiny inputs return an (all-invalid) result instead of
+        # crashing on an empty concatenate
+        if o > first_octave and min(h, w) < 48:
             break
+        if o == first_octave:
+            base_blur = 1.0 if first_octave < 0 else 0.0
+        else:
+            base_blur = 1.6
         xy, sc, valid, sig, next_base = _detect_octave(
             base, max_keypoints, num_scales, contrast_threshold,
-            edge_ratio, first=(o == 0),
+            edge_ratio, base_blur=base_blur,
         )
-        f = float(2**o)
+        f = float(2.0**o)
         per.append((xy * f, sc, valid, sig * f))
         base = next_base
     if len(per) == 1:
@@ -238,7 +269,12 @@ def detect_keypoints(
     return xy[idx], top, valid[idx] & (top > 0), sig[idx]
 
 
-@partial(jax.jit, static_argnames=("num_scales", "num_octaves"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_scales", "num_octaves", "first_octave", "num_orientations"
+    ),
+)
 def compute_descriptors(
     gray: jnp.ndarray,
     xy: jnp.ndarray,
@@ -246,6 +282,8 @@ def compute_descriptors(
     sigma: jnp.ndarray | None = None,
     num_scales: int = 3,
     num_octaves: int = 2,
+    first_octave: int = -1,
+    num_orientations: int = 1,
 ):
     """128-d SIFT-layout descriptors (4x4 spatial x 8 orientation bins).
 
@@ -275,16 +313,30 @@ def compute_descriptors(
         orientation) with a Gaussian spatial window — hard binning
         aliases a 1 px shift into ~25% descriptor churn;
       * L2-normalize, clamp 0.2, renormalize (SIFT).
+
+    ``num_orientations=2`` additionally emits a descriptor at the SECOND
+    orientation-histogram peak when it reaches 0.8x the dominant one —
+    Lowe's multiple-orientation rule, which OpenCV implements by
+    duplicating the keypoint. Under rotation the dominant peak of
+    corresponding patches can flip between two near-equal peaks; the
+    duplicate is what survives the 0.3 ratio test then (measured: the
+    rotate8 match count was the one cell at less than half of OpenCV's).
+    Returns ``(desc f32[2K,128], valid bool[2K])`` with rows 2i / 2i+1
+    belonging to keypoint i (callers expand xy with ``jnp.repeat``,
+    mirroring OpenCV's duplicated-keypoint list); with the default 1,
+    returns ``desc f32[K,128]`` as before.
     """
     img = gray.astype(jnp.float32) / 255.0
     kk = 2.0 ** (1.0 / num_scales)
     # enough full-resolution blur levels to bracket every sigma the
-    # multi-octave detector can report (max ~1.6 * 2^num_octaves * k^0.5);
-    # sampling gradients from a full-res blur of the SAME absolute sigma
-    # is equivalent to OpenCV's per-octave subsampled grid up to the
-    # aliasing the subsample introduces
-    n_lvl = num_scales * num_octaves + 3
-    levels = [_blur(img, 1.6 * (kk**i)) for i in range(n_lvl)]
+    # multi-octave detector can report (max ~1.6 * 2^num_octaves * k^0.5;
+    # with the upsampled base octave also DOWN to 1.6 * 2^first_octave =
+    # 0.8); sampling gradients from a blur of the SAME absolute sigma is
+    # equivalent to OpenCV's per-octave subsampled grid up to the
+    # aliasing the subsample introduces.
+    lo = num_scales if first_octave < 0 else 0
+    n_lvl = num_scales * num_octaves + 3 + lo
+    levels = [_blur(img, 1.6 * (kk ** (i - lo))) for i in range(n_lvl)]
 
     def grad(f):
         gx = 0.5 * (jnp.roll(f, -1, 1) - jnp.roll(f, 1, 1))
@@ -295,6 +347,28 @@ def compute_descriptors(
     gx_st = jnp.stack([g[0] for g in gs])  # [L,H,W]
     gy_st = jnp.stack([g[1] for g in gs])
     h, w = img.shape
+    # Sub-1.6-sigma keypoints (the upsampled base octave's) sample a
+    # SECOND gradient stack living on the 2x-upsampled image — OpenCV's
+    # per-octave grids, per octave: a full-resolution stack cannot
+    # represent sub-pixel-scale structure faithfully (measured 0.40
+    # inliers on the 1.12x-zoom warp for the sigma < 1.3 band, matched
+    # to the wrong repeated-texture corners entirely), while moving the
+    # WHOLE stack to the upsampled grid regressed the coarser bands the
+    # other way (perspective 1.00 -> 0.49). Only levels 0..lo can be
+    # addressed by scale < 1 keypoints, so the stack stays short.
+    if first_octave < 0:
+        h0, w0 = img.shape
+        ups = jax.image.resize(img, (2 * h0, 2 * w0), method="linear")
+        n_ups = lo + 2
+        gs_u = [
+            grad(_blur(ups, 2.0 * 1.6 * (kk ** (i - lo))))
+            for i in range(n_ups)
+        ]
+        gxu_st = jnp.stack([g[0] for g in gs_u])
+        gyu_st = jnp.stack([g[1] for g in gs_u])
+        hu, wu = ups.shape
+    else:
+        n_ups = 0
     if sigma is None:
         sigma = jnp.full((xy.shape[0],), 1.6, jnp.float32)
 
@@ -303,9 +377,10 @@ def compute_descriptors(
     gauss_w = jnp.exp(-(ou * ou + ov * ov) / (2.0 * 8.0 * 8.0))
 
     def bilinear(st, lvl, xs, ys):
-        """Sample stack level ``lvl`` (i32 scalar) at sub-pixel (xs, ys);
-        the level rides inside the gather, so no [H,W] slice per
-        keypoint materializes under vmap."""
+        """Sample stack level ``lvl`` (i32 scalar) at sub-pixel (xs, ys)
+        with the stack's own bounds; the level rides inside the gather,
+        so no [H,W] slice per keypoint materializes under vmap."""
+        h, w = st.shape[1], st.shape[2]
         x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
         y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
         fx = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)
@@ -324,6 +399,7 @@ def compute_descriptors(
     def per_kp(p, sig):
         cx, cy = p[0], p[1]
         scale = sig / 1.6
+        fine = scale < 1.0  # upsampled-base-octave keypoint
         # continuous level: gradients LERP between the two adjacent
         # Gaussian levels. Rounding to the nearest level is unstable —
         # corresponding keypoints whose interpolated scales straddle a
@@ -332,17 +408,42 @@ def compute_descriptors(
         # REGRESSED the perspective warp 0.556 -> 0.250 inlier rate
         # while fixing scale; the lerp keeps both).
         lf = jnp.clip(
-            jnp.log(jnp.maximum(scale, 1e-6)) / jnp.log(kk),
+            jnp.log(jnp.maximum(scale, 1e-6)) / jnp.log(kk) + float(lo),
             0.0,
             float(n_lvl - 1),
         )
         lvl = jnp.floor(lf).astype(jnp.int32)
         lvl1 = jnp.minimum(lvl + 1, n_lvl - 1)
         lfrac = lf - lvl.astype(jnp.float32)
+
+        def grad_at(xs, ys):
+            """Level-lerped (gx, gy) at base-image coords, from the
+            stack matching this keypoint's octave: the 2x-upsampled
+            stack for sub-1.6-sigma keypoints, the full-resolution one
+            otherwise. Gradients are per-stack-pixel, but each keypoint
+            commits to ONE stack, so the uniform magnitude factor
+            normalizes away."""
+            gxf = (1.0 - lfrac) * bilinear(gx_st, lvl, xs, ys) \
+                + lfrac * bilinear(gx_st, lvl1, xs, ys)
+            gyf = (1.0 - lfrac) * bilinear(gy_st, lvl, xs, ys) \
+                + lfrac * bilinear(gy_st, lvl1, xs, ys)
+            if n_ups == 0:
+                return gxf, gyf
+            lvu = jnp.minimum(lvl, n_ups - 1)
+            lvu1 = jnp.minimum(lvl1, n_ups - 1)
+            gxu = (1.0 - lfrac) * bilinear(gxu_st, lvu, 2 * xs, 2 * ys) \
+                + lfrac * bilinear(gxu_st, lvu1, 2 * xs, 2 * ys)
+            gyu = (1.0 - lfrac) * bilinear(gyu_st, lvu, 2 * xs, 2 * ys) \
+                + lfrac * bilinear(gyu_st, lvu1, 2 * xs, 2 * ys)
+            return (
+                jnp.where(fine, gxu, gxf),
+                jnp.where(fine, gyu, gyf),
+            )
+
         # dominant orientation from the axis-aligned patch: 36-bin
         # Gaussian-weighted histogram, circularly smoothed (SIFT), peak
-        xs0 = jnp.clip((cx + ou * scale).astype(jnp.int32), 0, w - 1)
-        ys0 = jnp.clip((cy + ov * scale).astype(jnp.int32), 0, h - 1)
+        rx0 = cx + ou * scale
+        ry0 = cy + ov * scale
         # orientation histogram from the SAME level-lerped gradient
         # fields the descriptor samples (gx/gy are linear fields, so the
         # lerp is sound; the wrapped ANGLE is computed after). (Dual-
@@ -350,12 +451,12 @@ def compute_descriptors(
         # were tried and measured NET-NEGATIVE on the warp suite — with
         # ~200 keypoints the peak shifts they induce between
         # corresponding patches outweigh the quantization they remove.)
-        gx0 = (1.0 - lfrac) * gx_st[lvl, ys0, xs0] + lfrac * gx_st[
-            lvl1, ys0, xs0
-        ]
-        gy0 = (1.0 - lfrac) * gy_st[lvl, ys0, xs0] + lfrac * gy_st[
-            lvl1, ys0, xs0
-        ]
+        # Sampling is sub-pixel bilinear like the descriptor grid:
+        # integer rounding was measured fine at scale >= 1 but at the
+        # upsampled base octave's sub-unit scales the 16x16 patch spans
+        # < 10 px and the rounding jitter flips the dominant-orientation
+        # peak between corresponding keypoints (VERDICT r3 #5 follow-up).
+        gx0, gy0 = grad_at(rx0, ry0)
         m0 = jnp.sqrt(gx0 * gx0 + gy0 * gy0) * gauss_w
         a0 = jnp.arctan2(gy0, gx0)
         bins36 = (
@@ -367,68 +468,86 @@ def compute_descriptors(
             hist36 = (
                 hist36 + jnp.roll(hist36, 1) + jnp.roll(hist36, -1)
             ) / 3.0
-        main = (
-            (jnp.argmax(hist36).astype(jnp.float32) + 0.5) / 36
-            * 2 * jnp.pi
-            - jnp.pi
-        )
-        cosm, sinm = jnp.cos(main), jnp.sin(main)
+        peak1 = jnp.argmax(hist36)
 
-        # rotated, scale-matched sample grid + sub-pixel gradients,
-        # lerped across the two adjacent blur levels (gx/gy are linear
-        # fields — unlike the wrapped angle — so the lerp is sound)
-        rx = cx + (cosm * ou - sinm * ov) * scale
-        ry = cy + (sinm * ou + cosm * ov) * scale
-        gxs = (1.0 - lfrac) * bilinear(gx_st, lvl, rx, ry) + lfrac * bilinear(
-            gx_st, lvl1, rx, ry
-        )
-        gys = (1.0 - lfrac) * bilinear(gy_st, lvl, rx, ry) + lfrac * bilinear(
-            gy_st, lvl1, rx, ry
-        )
-        m = jnp.sqrt(gxs * gxs + gys * gys) * gauss_w
-        a_rel = jnp.mod(
-            jnp.arctan2(gys, gxs) - main + 2 * jnp.pi, 2 * jnp.pi
-        )
+        def desc_for(main):
+            cosm, sinm = jnp.cos(main), jnp.sin(main)
 
-        # trilinear soft binning: spatial cell coords in [-0.5, 3.5]
-        cu = (ou + 8.0) / 4.0 - 0.5
-        cv = (ov + 8.0) / 4.0 - 0.5
-        co = a_rel / (2 * jnp.pi) * 8.0 - 0.5
-        u0 = jnp.floor(cu).astype(jnp.int32)
-        v0 = jnp.floor(cv).astype(jnp.int32)
-        o0 = jnp.floor(co).astype(jnp.int32)
-        fu = cu - u0.astype(jnp.float32)
-        fv = cv - v0.astype(jnp.float32)
-        fo = co - o0.astype(jnp.float32)
+            # rotated, scale-matched sample grid + sub-pixel gradients,
+            # lerped across the two adjacent blur levels (gx/gy are
+            # linear fields — unlike the wrapped angle — so the lerp is
+            # sound)
+            rx = cx + (cosm * ou - sinm * ov) * scale
+            ry = cy + (sinm * ou + cosm * ov) * scale
+            gxs, gys = grad_at(rx, ry)
+            m = jnp.sqrt(gxs * gxs + gys * gys) * gauss_w
+            a_rel = jnp.mod(
+                jnp.arctan2(gys, gxs) - main + 2 * jnp.pi, 2 * jnp.pi
+            )
 
-        contribs = []
-        cells = []
-        for du in (0, 1):
-            wu = jnp.where(du == 0, 1 - fu, fu)
-            uu = u0 + du
-            u_ok = (uu >= 0) & (uu < 4)
-            for dv in (0, 1):
-                wv = jnp.where(dv == 0, 1 - fv, fv)
-                vv = v0 + dv
-                v_ok = (vv >= 0) & (vv < 4)
-                for do in (0, 1):
-                    wo = jnp.where(do == 0, 1 - fo, fo)
-                    oo = jnp.mod(o0 + do, 8)
-                    wgt = m * wu * wv * wo * u_ok * v_ok
-                    cell = (
-                        jnp.clip(vv, 0, 3) * 4 + jnp.clip(uu, 0, 3)
-                    ) * 8 + oo
-                    contribs.append(wgt.reshape(-1))
-                    cells.append(cell.reshape(-1))
-        desc = jax.ops.segment_sum(
-            jnp.concatenate(contribs), jnp.concatenate(cells), 128
-        )
-        desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
-        desc = jnp.minimum(desc, 0.2)
-        return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+            # trilinear soft binning: spatial cell coords in [-0.5, 3.5]
+            cu = (ou + 8.0) / 4.0 - 0.5
+            cv = (ov + 8.0) / 4.0 - 0.5
+            co = a_rel / (2 * jnp.pi) * 8.0 - 0.5
+            u0 = jnp.floor(cu).astype(jnp.int32)
+            v0 = jnp.floor(cv).astype(jnp.int32)
+            o0 = jnp.floor(co).astype(jnp.int32)
+            fu = cu - u0.astype(jnp.float32)
+            fv = cv - v0.astype(jnp.float32)
+            fo = co - o0.astype(jnp.float32)
 
-    descs = jax.vmap(per_kp)(xy, sigma)
-    return jnp.where(valid[:, None], descs, 0.0)
+            contribs = []
+            cells = []
+            for du in (0, 1):
+                wu = jnp.where(du == 0, 1 - fu, fu)
+                uu = u0 + du
+                u_ok = (uu >= 0) & (uu < 4)
+                for dv in (0, 1):
+                    wv = jnp.where(dv == 0, 1 - fv, fv)
+                    vv = v0 + dv
+                    v_ok = (vv >= 0) & (vv < 4)
+                    for do in (0, 1):
+                        wo = jnp.where(do == 0, 1 - fo, fo)
+                        oo = jnp.mod(o0 + do, 8)
+                        wgt = m * wu * wv * wo * u_ok * v_ok
+                        cell = (
+                            jnp.clip(vv, 0, 3) * 4 + jnp.clip(uu, 0, 3)
+                        ) * 8 + oo
+                        contribs.append(wgt.reshape(-1))
+                        cells.append(cell.reshape(-1))
+            desc = jax.ops.segment_sum(
+                jnp.concatenate(contribs), jnp.concatenate(cells), 128
+            )
+            desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+            desc = jnp.minimum(desc, 0.2)
+            return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+
+        def angle_of(bin_i):
+            return (
+                (bin_i.astype(jnp.float32) + 0.5) / 36 * 2 * jnp.pi - jnp.pi
+            )
+
+        d1 = desc_for(angle_of(peak1))
+        if num_orientations == 1:
+            return d1
+        # second peak: best bin at a circular distance >= 3 from the
+        # dominant one (a smoothed peak spans ~3 bins), emitted only at
+        # Lowe's 0.8x-of-max threshold
+        idx36 = jnp.arange(36)
+        dist = jnp.minimum((idx36 - peak1) % 36, (peak1 - idx36) % 36)
+        masked = jnp.where(dist >= 3, hist36, -jnp.inf)
+        peak2 = jnp.argmax(masked)
+        ok2 = hist36[peak2] >= 0.8 * hist36[peak1]
+        return jnp.stack([d1, desc_for(angle_of(peak2))]), ok2
+
+    if num_orientations == 1:
+        descs = jax.vmap(per_kp)(xy, sigma)
+        return jnp.where(valid[:, None], descs, 0.0)
+    descs, ok2 = jax.vmap(per_kp)(xy, sigma)  # [K,2,128], [K]
+    k = xy.shape[0]
+    valid2 = jnp.stack([valid, valid & ok2], axis=1).reshape(2 * k)
+    flat = descs.reshape(2 * k, 128)
+    return jnp.where(valid2[:, None], flat, 0.0), valid2
 
 
 @partial(jax.jit, static_argnames=())

@@ -89,14 +89,20 @@ def measure_ours(gray_a, gray_b, hmat, tol=3.0, ratio=0.3, max_kp=512):
     ga, gb = jnp.asarray(gray_a), jnp.asarray(gray_b)
     xy_a, _, va, sa = detect_keypoints(ga, max_keypoints=max_kp)
     xy_b, _, vb, sb = detect_keypoints(gb, max_keypoints=max_kp)
-    da = compute_descriptors(ga, xy_a, va, sa)
-    db = compute_descriptors(gb, xy_b, vb, sb)
-    idx, good = match_descriptors(da, va, db, vb, ratio=ratio)
+    # multiple-orientation emission (Lowe's 0.8x rule): descriptors come
+    # back [2K, 128] with their own validity; keypoints expand by repeat,
+    # exactly OpenCV's duplicated-keypoint list
+    da, va2 = compute_descriptors(ga, xy_a, va, sa, num_orientations=2)
+    db, vb2 = compute_descriptors(gb, xy_b, vb, sb, num_orientations=2)
+    idx, good = match_descriptors(da, va2, db, vb2, ratio=ratio)
 
-    xy_a, xy_b = np.asarray(xy_a), np.asarray(xy_b)
-    va, vb = np.asarray(va), np.asarray(vb)
+    xy_a2 = np.repeat(np.asarray(xy_a), 2, axis=0)
+    xy_b2 = np.repeat(np.asarray(xy_b), 2, axis=0)
+    va2, vb2 = np.asarray(va2), np.asarray(vb2)
     idx, good = np.asarray(idx), np.asarray(good)
-    return _stats(xy_a, va, xy_b, vb, idx, good, hmat, tol, gray_a.shape)
+    return _stats(
+        xy_a2, va2, xy_b2, vb2, idx, good, hmat, tol, gray_a.shape
+    )
 
 
 def measure_opencv(gray_a, gray_b, hmat, tol=3.0, ratio=0.3, max_kp=512):
