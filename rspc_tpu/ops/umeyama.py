@@ -114,6 +114,7 @@ def rigid_fit(
     src: jnp.ndarray,
     dst: jnp.ndarray,
     weights: jnp.ndarray,
+    psum_axis=None,
 ) -> jnp.ndarray:
     """Least-squares rigid transform T with ``T @ src ≈ dst``.
 
@@ -125,8 +126,15 @@ def rigid_fit(
     Semantics follow PCL TransformationEstimationSVD (no scaling): demean
     both sets, H = sum w (src-cs)(dst-cd)^T, R = argmax tr(R H) with
     det(R)=+1, t = centroid_dst - R centroid_src.
+
+    ``psum_axis``: inside ``shard_map`` with the pairs sharded over that
+    mesh axis, the additive moments are psum'd (17 scalars) before the
+    solve — every device returns the identical global fit.
     """
-    return rigid_fit_from_moments(*fit_moments(src, dst, weights))
+    moments = fit_moments(src, dst, weights)
+    if psum_axis is not None:
+        moments = jax.lax.psum(moments, psum_axis)
+    return rigid_fit_from_moments(*moments)
 
 
 def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
@@ -240,6 +248,7 @@ def plane_fit(
     cgrad: jnp.ndarray | None = None,
     color_resid: jnp.ndarray | None = None,
     color_weights: jnp.ndarray | None = None,
+    psum_axis=None,
 ) -> jnp.ndarray:
     """Least-squares rigid transform minimizing point-to-PLANE error
     ``sum w (n . (T src - dst))^2`` (PCL analog:
@@ -257,9 +266,18 @@ def plane_fit(
     6x6 system — with scene-absolute coordinates a weakly-constrained
     normal set (e.g. a view dominated by one wall) makes the solve
     explode along its null directions. The solved motion is recomposed
-    as a world transform afterwards."""
+    as a world transform afterwards.
+
+    ``psum_axis``: inside ``shard_map`` with the pairs sharded over that
+    mesh axis, the centroid (4 scalars) and the accumulated 6x6 moments
+    (42 scalars) are psum'd — every device returns the identical global
+    fit, matching the unsharded solve up to f32 reduction order."""
     w = weights.astype(src.dtype)
-    c = jnp.sum(src * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1e-12)
+    sw = jnp.sum(w)
+    sc = jnp.sum(src * w[:, None], axis=0)
+    if psum_axis is not None:
+        sw, sc = jax.lax.psum((sw, sc), psum_axis)
+    c = sc / jnp.maximum(sw, 1e-12)
     h, g = plane_fit_moments(src - c, dst - c, normal, weights)
     if cgrad is not None:
         # Colored-ICP rows (Park, Zhou, Koltun ICCV 2017): the same
@@ -291,6 +309,8 @@ def plane_fit(
         hp, gp = point_fit_moments(src - c, dst - c, weights)
         h = h + point_mix * hp
         g = g + point_mix * gp
+    if psum_axis is not None:
+        h, g = jax.lax.psum((h, g), psum_axis)
     t_c = plane_fit_from_moments(h, g)
     # x_new = R (x - c) + c + t'  =>  T = Trans(c) @ T' @ Trans(-c)
     r = t_c[:3, :3]

@@ -45,7 +45,10 @@ from rspc_tpu.cloud import OrganizedCloud
 from rspc_tpu.config import PipelineConfig
 
 
-def _one_seq(seq: OrganizedCloud, g, use_ndt, config, include_global):
+def _one_seq(
+    seq: OrganizedCloud, g, use_ndt, config, include_global,
+    psum_axis=None, psum_n=1,
+):
     from rspc_tpu.registration.schemes import _registration_fused
 
     n = seq.xyz.shape[0]
@@ -64,6 +67,8 @@ def _one_seq(seq: OrganizedCloud, g, use_ndt, config, include_global):
         config.rescue_inlier_frac,
         config.rescue_cap,
         config.rescue_iterations,
+        psum_axis=psum_axis,
+        psum_n=psum_n,
     )
     accepted = out["anchor_accepted"]
     if isinstance(accepted, tuple):  # anchor disabled
@@ -111,6 +116,72 @@ def _jitted_sharded(
             check_vma=False,
         )
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_points_sharded(
+    use_ndt: bool,
+    config,
+    include_global: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str,
+):
+    d = mesh.shape[axis]
+    rep = jax.sharding.PartitionSpec()
+
+    def local(seq, g):
+        return _one_seq(
+            seq, g, use_ndt, config, include_global,
+            psum_axis=axis, psum_n=d,
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(rep, rep),
+            out_specs=rep,
+            check_vma=False,
+        )
+    )
+
+
+def points_sharded_registration(
+    stacked: OrganizedCloud,
+    guesses: jnp.ndarray,
+    config: PipelineConfig,
+    mesh: jax.sharding.Mesh,
+    use_ndt: bool = True,
+    axis: str = "points",
+    include_global: bool = True,
+) -> Dict[str, Any]:
+    """ONE sequence's full fused pipeline with every pair solve sharded
+    over the ``axis`` mesh axis (VERDICT r3 #6: multi-chip buying
+    single-sequence LATENCY, not just DP throughput).
+
+    Inputs arrive replicated; inside the program each device sweeps only
+    its 1/D chunk of every coarse-NDT/ICP and fine-ICP source (the
+    dominant O(S x T) NN sweeps) and the additive fit moments ride one
+    ~tens-of-scalars psum per solver iteration — pure ICI latency, no
+    bandwidth term. Guard/rescue/refine/merge stages stay replicated
+    (identical on every device, collective-free), so the result equals
+    the single-device ``_registration_fused`` up to f32 psum reduction
+    order. See registration/chainscan.py::_chain_scan (psum_axis).
+
+    Args mirror :func:`batched_registration` minus the batch axis:
+    ``stacked`` is ``[n, H, W, ...]``, ``guesses`` ``f32[n-1, 4, 4]``.
+    """
+    if stacked.xyz.ndim != 4:
+        raise ValueError(
+            "stacked must be a single [n, H, W, 3] sequence; got xyz "
+            f"shape {stacked.xyz.shape}"
+        )
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh needs a '{axis}' axis; has {mesh.axis_names}")
+    fit = _jitted_points_sharded(
+        use_ndt, config, include_global, mesh, axis
+    )
+    return fit(stacked, guesses)
 
 
 def batched_registration(

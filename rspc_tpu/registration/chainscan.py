@@ -140,6 +140,28 @@ def _assemble_global(originals, totals, converged):
 
 
 
+def _shard_points(c: Cloud, axis: str, n: int) -> Cloud:
+    """This device's contiguous chunk of a replicated cloud's points axis
+    (pad-with-invalid when the capacity does not divide): inside
+    ``shard_map`` the per-pair solves sweep only their chunk and psum the
+    additive fit moments, so the O(S x T) NN cost shrinks by the mesh
+    size while every merge/carry stays replicated."""
+    cap = c.xyz.shape[0]
+    chunk = -(-cap // n)
+    pad = n * chunk - cap
+    if pad:
+        def padf(x):
+            width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, width)  # False/0 rows are invalid points
+
+        c = jax.tree.map(padf, c)
+    i = jax.lax.axis_index(axis)
+    return jax.tree.map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=0),
+        c,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -157,6 +179,8 @@ def _assemble_global(originals, totals, converged):
         "rescue_thresh",
         "rescue_cap",
         "rescue_iters",
+        "psum_axis",
+        "psum_n",
     ),
 )
 def _chain_scan(
@@ -177,6 +201,8 @@ def _chain_scan(
     rescue_thresh: float = 0.0,
     rescue_cap: float = 0.1,
     rescue_iters: int = 8,
+    psum_axis=None,
+    psum_n: int = 1,
 ):
     """The whole phase-2 frame chain as ONE compiled program.
 
@@ -192,6 +218,17 @@ def _chain_scan(
     The per-frame convergence gate (icp_edge_based_registration.hpp:
     113-123: a non-converged frame is simply not merged) becomes a
     ``jnp.where`` select over the carry.
+
+    ``psum_axis``/``psum_n``: inside ``shard_map`` over a points mesh
+    axis (SURVEY.md §2c(c) — the sharded NN-argmin scale-out applied to
+    the REAL single-sequence pipeline, VERDICT r3 #6), each device
+    sweeps only its ``1/psum_n`` chunk of every pair solve's source
+    (coarse NDT/ICP + fine ICP, the dominant O(S x T) sweeps) and the
+    additive moments/reductions ride one tiny psum per Newton/ICP
+    iteration; guard, rescue, refine, and merges stay replicated so
+    every device carries identical target buffers with no collective.
+    Sources are capped/strided BEFORE sharding, so the solve population
+    is exactly the single-device one.
     """
     refine = full_all is not None
 
@@ -259,9 +296,26 @@ def _chain_scan(
             guess = prev_total @ rel_g @ c_local
         if use_ndt:
             grid = ndt_grid_from_moments(moments, origin, ndt_cfg)
-            coarse = ndt_align(edge_i, grid, ndt_cfg, guess)
+            src_c = edge_i
+            if psum_axis is not None:
+                cap_ndt = ndt_cfg.max_source_points
+                if 0 < cap_ndt < src_c.xyz.shape[0]:
+                    # the same prefix slice ndt_align applies internally
+                    # when unsharded (hash-shuffled voxel order makes the
+                    # prefix a uniform subset)
+                    src_c = jax.tree.map(lambda x: x[:cap_ndt], src_c)
+                src_c = _shard_points(src_c, psum_axis, psum_n)
+            coarse = ndt_align(src_c, grid, ndt_cfg, guess, psum_axis)
         else:
-            coarse = icp_align(edge_i, target, coarse_icp_cfg, guess)
+            src_c = edge_i
+            if psum_axis is not None:
+                src_c = _shard_points(
+                    _stride_cloud(src_c, icp_cfg.max_source_points),
+                    psum_axis, psum_n,
+                )
+            coarse = icp_align(
+                src_c, target, coarse_icp_cfg, guess, psum_axis=psum_axis
+            )
         if coarse_guard_cap > 0.0:
             # Hypothesis pool: the coarse result, the (possibly warmed)
             # guess it started from, and under warm_start additionally
@@ -287,7 +341,16 @@ def _chain_scan(
                 ),
             )
         aligned = apply_transform_cloud(coarse.transform, edge_i)
-        fine = icp_align(aligned, target, icp_cfg)
+        if psum_axis is None:
+            fine = icp_align(aligned, target, icp_cfg)
+        else:
+            fine = icp_align(
+                _shard_points(
+                    _stride_cloud(aligned, icp_cfg.max_source_points),
+                    psum_axis, psum_n,
+                ),
+                target, icp_cfg, psum_axis=psum_axis,
+            )
         if rescue_thresh > 0.0:
             fine_aligned = apply_transform_cloud(fine.transform, aligned)
             fine, _ = _maybe_rescue(
@@ -400,6 +463,8 @@ def _chain_scan(
         "rescue_thresh",
         "rescue_cap",
         "rescue_iters",
+        "psum_axis",
+        "psum_n",
     ),
 )
 def _registration_fused(
@@ -417,6 +482,8 @@ def _registration_fused(
     rescue_thresh: float = 0.0,
     rescue_cap: float = 0.1,
     rescue_iters: int = 8,
+    psum_axis=None,
+    psum_n: int = 1,
 ):
     """The ENTIRE registration — phase-1 feature extraction, the phase-2
     frame chain, anchor refinement, and global-cloud assembly — as ONE
@@ -449,6 +516,8 @@ def _registration_fused(
         rescue_thresh,
         rescue_cap,
         rescue_iters,
+        psum_axis,
+        psum_n,
     )
 
 
@@ -467,6 +536,8 @@ def _registration_fused(
         "rescue_thresh",
         "rescue_cap",
         "rescue_iters",
+        "psum_axis",
+        "psum_n",
     ),
 )
 def _registration_body(
@@ -485,6 +556,8 @@ def _registration_body(
     rescue_thresh: float = 0.0,
     rescue_cap: float = 0.1,
     rescue_iters: int = 8,
+    psum_axis=None,
+    psum_n: int = 1,
 ):
     """Everything after phase-1: the frame chain, anchor refinement, and
     global assembly. Factored out of :func:`_registration_fused` so
@@ -517,6 +590,8 @@ def _registration_body(
         rescue_thresh,
         rescue_cap,
         rescue_iters,
+        psum_axis=psum_axis,
+        psum_n=psum_n,
     )
     totals = out["totals"]
     accepted = ()

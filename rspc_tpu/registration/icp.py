@@ -96,17 +96,28 @@ class ICPResult:
     n_correspondences: jax.Array  # i32 inliers at the final pose
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "psum_axis"))
 def icp_align(
     src: Cloud,
     tgt: Cloud,
     config: ICPConfig = ICPConfig(),
     init_guess: jax.Array | None = None,
+    psum_axis=None,
 ) -> ICPResult:
     """Align ``src`` onto ``tgt``; returns the PCL-parity result bundle.
 
     Equivalent reference call: ``icp.align(output, guess)`` with the
     settings in ``config`` (see ICPConfig for the exact PCL mapping).
+
+    ``psum_axis``: inside ``shard_map`` with ``src`` sharded over that
+    mesh axis (target replicated), every source reduction — fit moments,
+    correspondence counts, MSE and fitness sums — is psum'd over ICI, so
+    each device runs the identical outer loop and returns the identical
+    global result (parallel/icp.py wraps this for standalone use; the
+    fused chain threads it through directly). The internal
+    ``max_source_points`` stride is skipped then: the caller strides the
+    FULL cloud before sharding so the solve population matches the
+    single-device path exactly.
     """
     dtype = src.xyz.dtype
     eye = jnp.eye(4, dtype=dtype)
@@ -118,7 +129,8 @@ def icp_align(
     # its noise floor, not its accuracy floor. The caller still
     # transforms/merges the FULL cloud; fitness/RMSE then describe the
     # subsample (same estimator, fewer samples).
-    src = _stride_cloud(src, config.max_source_points)
+    if psum_axis is None:
+        src = _stride_cloud(src, config.max_source_points)
 
     p2l = config.variant == "point_to_plane"
     if p2l and tgt.normal is None:
@@ -182,7 +194,10 @@ def icp_align(
         final_t, it, prev_mse, state, prev_done = st
         src_t, d2, idx, w = correspondences(final_t)
         n_corr = jnp.sum(w)
-        cur_mse = jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(n_corr, 1.0)
+        mse_sum = jnp.sum(jnp.where(w > 0, d2, 0.0))
+        if psum_axis is not None:
+            n_corr, mse_sum = jax.lax.psum((n_corr, mse_sum), psum_axis)
+        cur_mse = mse_sum / jnp.maximum(n_corr, 1.0)
 
         too_few = n_corr < config.min_number_correspondences
 
@@ -214,6 +229,7 @@ def icp_align(
             t_inc = plane_fit(
                 src_t, tgt_m, tgt_n, w_fit,
                 point_mix=config.point_plane_mix,
+                psum_axis=psum_axis,
                 **color_kw,
             )
             # Trust region: correspondences were searched within
@@ -228,15 +244,25 @@ def icp_align(
                     1.0,
                 )
             )
-            span = jnp.sqrt(
-                jnp.max(
-                    jnp.where(
-                        src.valid,
-                        jnp.sum((src_t - jnp.mean(src_t, axis=0)) ** 2, -1),
-                        0.0,
-                    )
+            if psum_axis is None:
+                mean_t = jnp.mean(src_t, axis=0)
+            else:
+                # unmasked row mean, matching the single-device path:
+                # total rows = local rows x shard count (both static)
+                n_sh = jax.lax.psum(1, psum_axis)
+                mean_t = jax.lax.psum(jnp.sum(src_t, axis=0), psum_axis) / (
+                    src_t.shape[0] * n_sh
+                )
+            span_sq = jnp.max(
+                jnp.where(
+                    src.valid,
+                    jnp.sum((src_t - mean_t) ** 2, -1),
+                    0.0,
                 )
             )
+            if psum_axis is not None:
+                span_sq = jax.lax.pmax(span_sq, psum_axis)
+            span = jnp.sqrt(span_sq)
             move = ang * span + jnp.linalg.norm(t_inc[:3, 3])
             limit = 2.0 * config.max_correspondence_distance
             scale = jnp.minimum(1.0, limit / jnp.maximum(move, 1e-12))
@@ -246,7 +272,7 @@ def icp_align(
                 t_inc,
             )
         else:
-            t_inc = rigid_fit(src_t, tgt_m, w)
+            t_inc = rigid_fit(src_t, tgt_m, w, psum_axis=psum_axis)
         new_final = t_inc @ final_t
         new_it = it + 1
 
@@ -299,15 +325,20 @@ def icp_align(
         # all valid source points (max_range defaults to +inf in PCL), plus
         # the inlier-only RMSE the bench reports. Costs one extra sweep.
         src_t, d2, _, w = correspondences(final_t)
-        nv = jnp.maximum(jnp.sum(src.valid.astype(dtype)), 1.0)
         finite_d2 = jnp.where(
             src.valid, jnp.where(jnp.isfinite(d2), d2, 0.0), 0.0
         )
-        fitness = jnp.sum(finite_d2) / nv
-        n_inl = jnp.sum(w)
-        inlier_rmse = jnp.sqrt(
-            jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(n_inl, 1.0)
+        sums = (
+            jnp.sum(finite_d2),
+            jnp.sum(src.valid.astype(dtype)),
+            jnp.sum(jnp.where(w > 0, d2, 0.0)),
+            jnp.sum(w),
         )
+        if psum_axis is not None:
+            sums = jax.lax.psum(sums, psum_axis)
+        fit_sum, nv, inl_sum, n_inl = sums
+        fitness = fit_sum / jnp.maximum(nv, 1.0)
+        inlier_rmse = jnp.sqrt(inl_sum / jnp.maximum(n_inl, 1.0))
     else:
         fitness = jnp.asarray(jnp.nan, dtype)
         inlier_rmse = jnp.asarray(jnp.nan, dtype)
