@@ -183,6 +183,7 @@ def main():
             "ndt_edge_map",
             "ndt_edge_color",
             "ndt_edge_graph",
+            "ndt_edge_auto",
             "icp_edge",
             "incremental",
         )
@@ -240,6 +241,22 @@ def main():
                         )
                     s = NDTEdgeBasedRegistration(config=cfg_g, **guess_kw)
                     r = s.registration(clouds)
+                elif scheme_name == "ndt_edge_auto":
+                    # trajectory-adaptive selection (registration/auto.py):
+                    # measures a simplest-first candidate ladder on THIS
+                    # trajectory with a ground-truth-free consistency
+                    # score and keeps the simplest candidate that wins —
+                    # the single default a user with an unknown
+                    # trajectory should call
+                    from rspc_tpu.registration.auto import auto_register
+
+                    ar = auto_register(clouds, **guess_kw)
+                    s = ar.scheme
+                    r = ar.global_cloud
+                    auto_selected = ar.selected
+                    auto_scores = {
+                        k: round(v, 8) for k, v in ar.scores.items()
+                    }
                 elif scheme_name == "ndt_edge_warm":
                     # coarse_warm_start carries the previous pair's
                     # correction onto the next static guess — built for
@@ -313,12 +330,20 @@ def main():
                 "global_points": int(np.asarray(r.valid).sum()),
                 "wall_s": round(wall, 3),
             }
+            if scheme_name == "ndt_edge_auto":
+                row["selected"] = auto_selected
+                row["scores"] = auto_scores
             rows.append(row)
             print(json.dumps(row), flush=True)
             log(
                 f"{name:16s} {scheme_name:12s} max_err={max_err:.2e} "
                 f"mean={mean_err:.2e} conv={sum(conv)}/{len(conv)} "
                 f"wall={wall:.2f}s"
+                + (
+                    f" selected={auto_selected}"
+                    if scheme_name == "ndt_edge_auto"
+                    else ""
+                )
             )
 
     log("\n| scenario | scheme | max err | mean err | converged |")

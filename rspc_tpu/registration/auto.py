@@ -151,6 +151,48 @@ class AutoResult:
     scheme: object                # the winning scheme instance (diagnostics)
 
 
+def build_ladder(
+    texture: float, closures: tuple, texture_min: float = 0.002
+) -> dict:
+    """The candidate ladder, simplest first, gated on the trajectory's
+    own signals: the colored fine stage only when texture is present
+    (the photometric rows have nothing to hold on to otherwise, and
+    colored REGRESSES loop trajectories 3x — RESULTS.md), the pose graph
+    only when the guessed trajectory has closure structure."""
+    from rspc_tpu.presets import north_star_config, robust_config
+
+    candidates = {"north_star": north_star_config()}
+    candidates["robust_map"] = robust_config(anchor_mode="map")
+    if texture >= texture_min:
+        candidates["robust_color"] = robust_config(
+            anchor_mode="map", color=True
+        )
+    if closures:
+        cfg_g = robust_config(anchor_mode="map", pose_graph=True)
+        cfg_g = dataclasses.replace(
+            cfg_g,
+            refine=dataclasses.replace(
+                cfg_g.refine,
+                pose_graph_skips=tuple(sorted({1, 2, 3} | set(closures))),
+            ),
+        )
+        candidates["robust_graph"] = cfg_g
+    return candidates
+
+
+def select(scores: dict, margin: float) -> str:
+    """Hysteresis selection over an ORDERED {name: score} dict (simplest
+    first, lower is better): a challenger must beat the incumbent by
+    ``margin`` (fractionally) to take over — within-noise ties keep the
+    simpler candidate."""
+    names = list(scores)
+    winner = names[0]
+    for name in names[1:]:
+        if scores[name] < scores[winner] * (1.0 - margin):
+            winner = name
+    return winner
+
+
 def auto_register(
     clouds,
     thetas: Optional[np.ndarray] = None,
@@ -171,7 +213,6 @@ def auto_register(
     photometric rows nothing to hold on to). ``candidates`` overrides
     the ladder as an ordered {name: PipelineConfig} dict.
     """
-    from rspc_tpu.presets import north_star_config, robust_config
     from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
 
     n = len(clouds)
@@ -180,28 +221,13 @@ def auto_register(
         guess_kw = {"rads": rads}
 
     # --- trajectory signals (no registration output needed) -----------
-    probe = NDTEdgeBasedRegistration(config=north_star_config(), **guess_kw)
+    probe = NDTEdgeBasedRegistration(**guess_kw)
     guesses_np = np.asarray(probe._guesses(n))
     closures = detect_closures(guesses_np)
     tex = texture_score(clouds)
 
     if candidates is None:
-        candidates = {"north_star": north_star_config()}
-        candidates["robust_map"] = robust_config(anchor_mode="map")
-        if tex >= texture_min:
-            candidates["robust_color"] = robust_config(
-                anchor_mode="map", color=True
-            )
-        if closures:
-            cfg_g = robust_config(anchor_mode="map", pose_graph=True)
-            cfg_g = dataclasses.replace(
-                cfg_g,
-                refine=dataclasses.replace(
-                    cfg_g.refine,
-                    pose_graph_skips=tuple(sorted({1, 2, 3} | set(closures))),
-                ),
-            )
-            candidates["robust_graph"] = cfg_g
+        candidates = build_ladder(tex, closures, texture_min)
 
     pairs = tuple(
         [(i, i + 1) for i in range(n - 1)] + closure_pairs(n, closures)
@@ -232,12 +258,7 @@ def auto_register(
         )
 
     # --- hysteresis selection: simplest-first, challengers must win ---
-    names = list(candidates)
-    winner = names[0]
-    for name in names[1:]:
-        if scores[name] < scores[winner] * (1.0 - margin):
-            winner = name
-
+    winner = select(scores, margin)
     s, g = runs[winner]
     return AutoResult(
         global_cloud=g,
