@@ -24,7 +24,11 @@ import sys
 # session: after ~150 tests enough mappings accumulate that one lands in
 # the growth path and the next deep compile SIGSEGVs anyway (round-2's
 # full-suite abort at ~84%, reproduced with RLIMIT_STACK == (-1, -1)).
-# So RE-EXEC once into tests/_stack_main.py, which runs pytest on a
+# So RE-EXEC once into tests/_proc_main.py (VERDICT r3 #7): full-suite
+# runs are split into fresh per-module-group pytest processes (short
+# sessions — no accumulated-state crash, no cache-clear crutch, children
+# get an unlimited-growth stack via inherited rlimit); small or filtered
+# runs fall through to tests/_stack_main.py, which runs pytest on a
 # worker thread whose 1 GB stack is RESERVED up front — no growth, no
 # collision, deterministic for the whole session.
 def _is_standalone_pytest() -> bool:
@@ -41,7 +45,10 @@ def _is_standalone_pytest() -> bool:
     )
 
 
-if os.environ.get("RSPC_STACK_REEXEC") != "1":
+if (
+    os.environ.get("RSPC_STACK_REEXEC") != "1"
+    and os.environ.get("RSPC_PROC_CHILD") != "1"
+):
     try:
         if _is_standalone_pytest():
             os.environ["RSPC_STACK_REEXEC"] = "1"
@@ -65,7 +72,7 @@ if os.environ.get("RSPC_STACK_REEXEC") != "1":
                 sys.executable,
                 [
                     sys.executable,
-                    os.path.join(os.path.dirname(__file__), "_stack_main.py"),
+                    os.path.join(os.path.dirname(__file__), "_proc_main.py"),
                 ]
                 + sys.argv[1:],
             )
@@ -116,16 +123,23 @@ import pytest  # noqa: E402
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
-    """Drop compiled executables between test modules.
+    """Drop compiled executables between test modules — SINGLE-PROCESS
+    runs only.
 
     A full-suite run accumulates hundreds of XLA:CPU executables in one
     process; at ~84% the NEXT big fused-pipeline compile reproducibly
     segfaults inside backend_compile_and_load — with RLIMIT_STACK
     unlimited AND on a 1 GB pre-reserved thread stack, so it is
     accumulated jaxlib/XLA:CPU process state, not stack depth, that
-    poisons it (the same test passes in a fresh process). Clearing the
-    jit caches per module keeps the executable population small. Costs
-    recompiles for cross-module shared shapes; correctness is unaffected
-    (caches are pure memoization)."""
+    poisons it (the same test passes in a fresh process). The standard
+    full-suite invocation is now process-isolated per module group
+    (tests/_proc_main.py, VERDICT r3 #7) and needs no clearing — each
+    short-lived child stays far below the threshold and KEEPS its jit
+    caches across its modules. This fixture remains as the bounded
+    defense for single-process paths that can still traverse many
+    modules in one process (manual `-m`/`-k` filtered runs via
+    _stack_main). Costs recompiles for cross-module shared shapes there;
+    correctness is unaffected (caches are pure memoization)."""
     yield
-    jax.clear_caches()
+    if os.environ.get("RSPC_PROC_CHILD") != "1":
+        jax.clear_caches()
