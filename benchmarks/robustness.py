@@ -255,7 +255,8 @@ def main():
                     r = ar.global_cloud
                     auto_selected = ar.selected
                     auto_scores = {
-                        k: round(v, 8) for k, v in ar.scores.items()
+                        k: [round(x, 8) for x in v]
+                        for k, v in ar.scores.items()
                     }
                 elif scheme_name == "ndt_edge_warm":
                     # coarse_warm_start carries the previous pair's

@@ -19,16 +19,17 @@ folklore is not an answer for an unknown trajectory.
 2. Run every candidate (each is the one-program fused chain; steady
    state a few hundred ms per run on chip).
 3. Score each run's trajectory WITHOUT ground truth: capped mean-square
-   NN consistency over validation pairs — every sequential pair plus
-   every detected closure pair, evaluated on the full voxel-downsampled
+   NN consistency (plus a photometric term when texture is present —
+   in-plane drift slides along surfaces invisibly to geometry) over
+   validation pair GROUPS — sequential pairs, mid-skip pairs, and every
+   detected closure pair — evaluated on the full voxel-downsampled
    clouds at the candidate's final absolute poses. Closure pairs are
    exactly where integrated drift becomes visible; sequential pairs
    keep locally-broken runs from winning on closures alone.
-4. Keep the SIMPLEST candidate unless a challenger beats the incumbent
-   score by ``margin`` (hysteresis): on a clean trajectory the robust
-   stack measures within noise of plain and plain is kept; a mechanism
-   must demonstrate a real, measured improvement on THIS trajectory to
-   be selected.
+4. Keep the SIMPLEST candidate unless a challenger demonstrates a
+   measured improvement on some group by ``margin`` without regressing
+   any other group (hysteresis, :func:`select`): on a clean trajectory
+   the robust stack measures within noise of plain and plain is kept.
 
 The score is the same capped-mean-square alignment measure the
 acceptance/guard gates already trust (registration/measures.py), at
@@ -47,6 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from rspc_tpu.cloud import Cloud
+from rspc_tpu.ops.colorgrad import intensity
 from rspc_tpu.registration.measures import _capped_sum, _nn_sweep
 from rspc_tpu.ops.transform import apply_transform_cloud
 
@@ -95,8 +97,6 @@ def texture_score(clouds, max_frames: int = 3) -> float:
     """Mean absolute image-space intensity gradient over valid pixels —
     the cheap 'is there texture for the colored residual to use' signal.
     Sampled from the first ``max_frames`` organized frames."""
-    from rspc_tpu.ops.colorgrad import intensity
-
     vals = []
     for c in clouds[:max_frames]:
         i = intensity(c.rgb)
@@ -110,32 +110,95 @@ def texture_score(clouds, max_frames: int = 3) -> float:
     return float(np.mean([np.asarray(v) for v in vals]))
 
 
-@partial(jax.jit, static_argnames=("pairs", "radius"))
-def _consistency_score(fulls: Cloud, totals, pairs: tuple, radius: float):
-    """Trajectory consistency at the given absolute poses: for every
-    validation pair (i, j), the capped mean-square NN distance of frame
-    j's full cloud against frame i's, both placed by their poses. Far /
-    non-overlapping points saturate at ``radius``^2 instead of
-    dominating, so a diverged pair costs the cap while a tight pair
-    contributes its true residual. Returns the pooled mean over all
-    pairs' points (one scalar; lower is better)."""
+@partial(
+    jax.jit, static_argnames=("pair_groups", "radius", "color_weight")
+)
+def _consistency_score(
+    fulls: Cloud,
+    totals,
+    pair_groups: tuple,
+    radius: float,
+    color_weight: float = 0.0,
+):
+    """Trajectory consistency at the given absolute poses, WITHOUT
+    ground truth: for every validation pair (i, j), frame j's full cloud
+    is scored against frame i's, both placed by their poses.
+
+    Two residuals per pair (both dimensionless):
+
+    * geometric — capped mean-square NN distance / radius^2. Far /
+      non-overlapping points saturate at the cap instead of dominating,
+      so a diverged pair costs ~1 while a tight pair contributes its
+      true (normalized) residual.
+    * photometric (``color_weight`` > 0) — mean-square intensity
+      difference at the INLIER NN matches (d^2 < radius^2). Drift along
+      a surface slides NN correspondences without raising the geometric
+      residual at all (the same in-plane null space the colored-ICP
+      residual exists for, ops/umeyama.plane_fit); with texture present
+      the slide IS visible photometrically. Inlier-only: cross-surface
+      matches would compare unrelated texture.
+
+    ``pair_groups`` is a tuple of pair tuples; each group pools its
+    pairs' sums and the result is the per-group score VECTOR (selection
+    compares groups pairwise — see :func:`select`). Grouping is the
+    sensitivity mechanism, measured twice over: pooling everything
+    together dilutes a diverged closure under dozens of healthy
+    sequential pairs (a 3.1e-1-error loop_drift run scored within 14% of
+    an accurate one — under the selection margin), and reducing the
+    groups to their WORST scalar lets a low-overlap group's saturation
+    floor (skip-4 pairs under 0.25 rad/frame yaw saturate ~90% of their
+    points at ANY accuracy) mask the closure group's discrimination
+    entirely."""
     dtype = totals.dtype
     eye = jnp.eye(4, dtype=dtype)
     abs_p = jnp.concatenate([eye[None], totals], axis=0)
-    num = jnp.zeros((), dtype)
-    den = jnp.zeros((), dtype)
-    for i, j in pairs:
+    cap2 = radius * radius
+    n_groups = len(pair_groups)
+    # ONE traced NN sweep for every pair (lax.map over stacked pair
+    # indices, per-group segment sums after) — unrolling a Pallas sweep
+    # instance per pair made the score program's remote compile dominate
+    # the whole auto run.
+    iis, jjs, gis = [], [], []
+    for g, pairs in enumerate(pair_groups):
+        for i, j in pairs:
+            iis.append(i)
+            jjs.append(j)
+            gis.append(g)
+    ii_a = jnp.asarray(iis, jnp.int32)
+    jj_a = jnp.asarray(jjs, jnp.int32)
+    gi_a = jnp.asarray(gis, jnp.int32)
+
+    def one_pair(args):
+        i, j = args
         src = apply_transform_cloud(
             abs_p[j], jax.tree.map(lambda x: x[j], fulls)
         )
         tgt = apply_transform_cloud(
             abs_p[i], jax.tree.map(lambda x: x[i], fulls)
         )
-        d2, _ = _nn_sweep(src.xyz, src.valid, tgt.xyz, tgt.valid)
+        d2, idx = _nn_sweep(src.xyz, src.valid, tgt.xyz, tgt.valid)
         s, m = _capped_sum(d2, src.valid, radius)
-        num = num + s
-        den = den + m
-    return num / jnp.maximum(den, 1.0)
+        if color_weight > 0.0:
+            ib = intensity(src.rgb)
+            it = intensity(jnp.take(fulls.rgb[i], idx, axis=0))
+            inl = src.valid & (d2 < cap2)
+            w = inl.astype(dtype)
+            cs = jnp.sum((ib - it) ** 2 * w)
+            cm = jnp.sum(w)
+        else:
+            cs = jnp.zeros((), dtype)
+            cm = jnp.zeros((), dtype)
+        return s, m, cs, cm
+
+    s_a, m_a, cs_a, cm_a = jax.lax.map(one_pair, (ii_a, jj_a))
+    num = jax.ops.segment_sum(s_a, gi_a, n_groups)
+    den = jax.ops.segment_sum(m_a, gi_a, n_groups)
+    scores = num / jnp.maximum(den, 1.0) / cap2
+    if color_weight > 0.0:
+        cnum = jax.ops.segment_sum(cs_a, gi_a, n_groups)
+        cden = jax.ops.segment_sum(cm_a, gi_a, n_groups)
+        scores = scores + color_weight * cnum / jnp.maximum(cden, 1.0)
+    return scores
 
 
 @dataclasses.dataclass
@@ -145,20 +208,27 @@ class AutoResult:
     global_cloud: Cloud
     total_transforms: jnp.ndarray
     selected: str                 # winning candidate name
-    scores: dict                  # candidate name -> float consistency
+    scores: dict                  # name -> per-group consistency tuple
     closures: tuple               # detected closure skip offsets
     texture: float                # measured texture score
     scheme: object                # the winning scheme instance (diagnostics)
 
 
 def build_ladder(
-    texture: float, closures: tuple, texture_min: float = 0.002
+    texture: float, closures: tuple, texture_min: float = 0.001
 ) -> dict:
     """The candidate ladder, simplest first, gated on the trajectory's
     own signals: the colored fine stage only when texture is present
     (the photometric rows have nothing to hold on to otherwise, and
     colored REGRESSES loop trajectories 3x — RESULTS.md), the pose graph
-    only when the guessed trajectory has closure structure."""
+    only when the guessed trajectory has closure structure.
+
+    ``texture_min`` calibration (measured texture_score on the synthetic
+    robustness scenes): full texture 0.0052, the `combined` scenario's
+    30% contrast + heavy noise 0.0016 — where the colored stage is the
+    measured best mechanism and MUST enter the ladder — and
+    `low_texture`'s 15% contrast 0.0008, where color measures identical
+    to map (candidate run wasted). 0.001 separates the two."""
     from rspc_tpu.presets import north_star_config, robust_config
 
     candidates = {"north_star": north_star_config()}
@@ -181,14 +251,41 @@ def build_ladder(
 
 
 def select(scores: dict, margin: float) -> str:
-    """Hysteresis selection over an ORDERED {name: score} dict (simplest
-    first, lower is better): a challenger must beat the incumbent by
-    ``margin`` (fractionally) to take over — within-noise ties keep the
-    simpler candidate."""
+    """Hysteresis selection over an ORDERED {name: score-vector} dict
+    (simplest first; each vector holds the per-group consistency scores,
+    lower is better). A challenger takes over only when it DEMONSTRATES
+    an improvement: at least one group better than the incumbent's by
+    ``margin``, and no group worse by ``margin``.
+
+    ``margin`` is an ABSOLUTE difference in the normalized score units
+    (fraction of the cap^2 mean-square, see _consistency_score) — a
+    margin of 0.015 means "1.5% of the saturation budget moved". A
+    FRACTIONAL margin was measured too blunt: the scores carry a large
+    common floor (inter-frame voxel sampling residual + low-overlap
+    saturation, 0.17 on a perfectly-aligned clean pair, up to ~0.9 on
+    hard trajectories), so a 10x accuracy difference can be only ~6% of
+    the total while 0.04 absolute — the floor is common to every
+    candidate on the same validation pairs, differences are the signal.
+
+    Per-group comparison is equally load-bearing (measured, RESULTS.md
+    r4): pooling all pairs dilutes a diverged closure group under
+    healthy sequential pairs, and taking the worst group lets a
+    low-overlap group's saturation floor mask the discriminating group.
+    A mechanism built for one failure mode (closures for loop drift)
+    shows up in ITS group; requiring no-regression elsewhere keeps e.g.
+    the colored candidate from winning a loop trajectory on a fluke.
+    Scalars are accepted as 1-vectors."""
     names = list(scores)
+
+    def vec(v):
+        return tuple(v) if hasattr(v, "__len__") else (v,)
+
     winner = names[0]
     for name in names[1:]:
-        if scores[name] < scores[winner] * (1.0 - margin):
+        cur, inc = vec(scores[name]), vec(scores[winner])
+        wins = any(i - c > margin for c, i in zip(cur, inc))
+        safe = all(c - i <= margin for c, i in zip(cur, inc))
+        if wins and safe:
             winner = name
     return winner
 
@@ -197,9 +294,9 @@ def auto_register(
     clouds,
     thetas: Optional[np.ndarray] = None,
     rads: Optional[float] = None,
-    margin: float = 0.15,
-    texture_min: float = 0.002,
-    score_radius: float = 0.1,
+    margin: float = 0.015,
+    texture_min: float = 0.001,
+    score_radius: float = 0.05,
     candidates: Optional[dict] = None,
 ) -> AutoResult:
     """Register a sequence with measured candidate selection (see module
@@ -207,11 +304,12 @@ def auto_register(
     (capture IMU output / fixed per-frame yaw).
 
     ``margin`` is the hysteresis: a later (more complex) candidate must
-    improve the pooled consistency score by this fraction over the
-    current incumbent to be selected. ``texture_min`` gates the colored
-    candidate (mean |dI| per pixel step; texture-free scenes give the
-    photometric rows nothing to hold on to). ``candidates`` overrides
-    the ladder as an ordered {name: PipelineConfig} dict.
+    improve some validation group's consistency score by this ABSOLUTE
+    amount (normalized units, see :func:`select`) without regressing
+    another to be selected. ``texture_min`` gates the colored candidate
+    (mean |dI| per pixel step; texture-free scenes give the photometric
+    rows nothing to hold on to). ``candidates`` overrides the ladder as
+    an ordered {name: PipelineConfig} dict.
     """
     from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
 
@@ -229,9 +327,19 @@ def auto_register(
     if candidates is None:
         candidates = build_ladder(tex, closures, texture_min)
 
-    pairs = tuple(
-        [(i, i + 1) for i in range(n - 1)] + closure_pairs(n, closures)
-    )
+    # Validation pair groups (worst group wins — see _consistency_score):
+    # sequential pairs keep locally-broken runs from winning; mid-skip
+    # pairs amplify integrated drift ~skip-fold while keeping overlap;
+    # closure pairs are where out-and-back drift becomes fully visible.
+    mid = max(2, min(4, n - 1))
+    groups = [
+        tuple((i, i + 1) for i in range(n - 1)),
+        tuple((i, i + mid) for i in range(n - mid)),
+    ]
+    if closures:
+        groups.append(tuple(closure_pairs(n, closures)))
+    pair_groups = tuple(g for g in groups if g)
+    score_color = 1.0 if tex >= texture_min else 0.0
 
     # --- run + score every candidate ----------------------------------
     runs = {}
@@ -251,14 +359,48 @@ def auto_register(
                 valid=out["full_down"].valid,
             )
         runs[name] = (s, g)
-        scores[name] = float(
-            _consistency_score(
-                fulls_ref, s.total_transforms, pairs, score_radius
+        scores[name] = tuple(
+            float(v)
+            for v in _consistency_score(
+                fulls_ref,
+                s.total_transforms,
+                pair_groups,
+                score_radius,
+                color_weight=score_color,
             )
         )
 
     # --- hysteresis selection: simplest-first, challengers must win ---
     winner = select(scores, margin)
+
+    # Colored tiebreak on the inlier-collapse signature. The colored
+    # fine stage's own scenario — texture-starved DRIFT (RESULTS.md
+    # `combined`: late frames see one weakly-textured wall, fine-cap
+    # edge inliers collapse 1118 -> 45, pose under-observed in-plane) —
+    # is invisible to BOTH consistency residuals: in-plane drift slides
+    # NN matches along the surface (geometric term flat) and the
+    # photometric term's floor is the texture sampled at ~voxel-size NN
+    # offsets, which dwarfs the drift increment at 30% contrast. So when
+    # the signature the mechanism was built for fires on the winning
+    # run (texture present + inlier collapse across the chain) and the
+    # colored candidate is within-noise on every validation group (it
+    # ran; a regression > margin would mean color is measurably hurting,
+    # e.g. aliasing on repeated texture — keep the incumbent), prefer it
+    # on the mechanism's measured record rather than an unobservable
+    # score difference.
+    if "robust_color" in runs and winner != "robust_color":
+        fine_inl = np.array(
+            [int(f.n_correspondences) for _, f in runs[winner][0].results],
+            np.float64,
+        )
+        early = float(fine_inl[: max(2, len(fine_inl) // 3)].max())
+        late = float(fine_inl[-max(2, len(fine_inl) // 3):].min())
+        collapsed = early > 0 and late / max(early, 1.0) < 0.15
+        cur, inc = scores["robust_color"], scores[winner]
+        within = all(c - i <= margin for c, i in zip(cur, inc))
+        if collapsed and within:
+            winner = "robust_color"
+
     s, g = runs[winner]
     return AutoResult(
         global_cloud=g,

@@ -96,6 +96,25 @@ def test_select_hysteresis():
     assert select({"only": 2.0}, margin=0.15) == "only"
 
 
+def test_select_per_group():
+    # a challenger that wins ITS group without regressing others takes
+    # over even when other (saturated) groups barely move
+    m = 0.15
+    assert (
+        select({"plain": (0.9, 0.5, 0.8), "graph": (0.9, 0.49, 0.2)}, m)
+        == "graph"
+    )
+    # a big win in one group cannot buy a regression in another
+    assert (
+        select({"plain": (0.9, 0.5, 0.8), "color": (0.9, 0.7, 0.1)}, m)
+        == "plain"
+    )
+    # within-noise everywhere: simplest stays
+    assert (
+        select({"plain": (0.9, 0.5), "map": (0.89, 0.49)}, m) == "plain"
+    )
+
+
 def test_auto_register_end_to_end_keeps_simplest():
     """One small full run: on a clean scene the robust stack measures
     within noise of plain and hysteresis keeps plain. The ladder is
