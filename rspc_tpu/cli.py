@@ -68,17 +68,38 @@ def _source(arg: Optional[str], frames: int):
 
 
 def capture(prefix: str, frames: int, source_arg: Optional[str] = None) -> None:
-    """``--capture``: capture clouds and save dataset/{prefix}-{i}.pcd
-    (main.cpp:37-56). The reference's v2 capture keeps full resolution and
-    computes (then discards) SIFT visual-odometry transforms; the feature
-    odometry here is exposed via rspc_tpu.capture.odometry when available."""
-    from rspc_tpu.capture.replay import get_clouds
+    """``--capture``: the reference's v2 capture path (main.cpp:37-56 ->
+    get_clouds_new, capture_opencv.hpp:239-358): full-resolution clouds
+    AND the SIFT visual odometry — keypoints, 2-NN ratio-0.3 matching,
+    RANSAC homography computed-and-unused, grid-search translation +
+    theta pose per pair — whose transforms the caller then DISCARDS
+    (main.cpp:44-53); only the clouds are saved to
+    dataset/{prefix}-{i}.pcd.
+
+    Flags (beyond-reference, VERDICT r4 #5): ``RSPC_CAPTURE_NO_ODOMETRY=1``
+    skips the odometry for speed-sensitive runs (saved clouds are
+    identical either way — the odometry never touches them);
+    ``RSPC_CAPTURE_MATCH_DIR=DIR`` dumps per-pair match visualizations
+    (``matches-{i}.png``, the reference's drawMatches -> matches.jpg,
+    capture_opencv.hpp:74-79)."""
     from rspc_tpu.config import CaptureConfig
     from rspc_tpu.io.dataset import save_dataset_clouds
 
     src = _source(source_arg, frames)
     cfg = CaptureConfig(center_crop=False, bgr_color=False)  # v2: full res
-    clouds, _thetas = get_clouds(src, frames, cfg)
+    if os.environ.get("RSPC_CAPTURE_NO_ODOMETRY"):
+        from rspc_tpu.capture.replay import get_clouds
+
+        clouds, _thetas = get_clouds(src, frames, cfg)
+    else:
+        from rspc_tpu.capture.odometry import get_clouds_new
+
+        pairs = get_clouds_new(
+            src, frames, config=cfg,
+            debug_dir=os.environ.get("RSPC_CAPTURE_MATCH_DIR") or None,
+        )
+        # transforms computed then discarded, like the reference caller
+        clouds = [c for c, _pose in pairs]
     if len(clouds) < frames:
         print(f"[RS]  only captured {len(clouds)}/{frames} frames", file=sys.stderr)
     save_dataset_clouds(prefix, clouds, DATASET)
@@ -116,6 +137,86 @@ def edges(filename: str) -> None:
     result = extract_edge_features(cloud)
     out = os.path.join(DATASET, filename + ".edges.png")
     _view_or_png(result, out, "Edge render")
+
+
+class _AutoScheme:
+    """Adapter exposing :func:`rspc_tpu.registration.auto.auto_register`
+    behind the ``RegistrationScheme.registration(clouds)`` surface the
+    CLI drivers expect (types.hpp:14-20 analog), so ``--preset auto``
+    slots into the reference grammar without changing it."""
+
+    def __init__(self, rads=None, thetas=None):
+        self.rads, self.thetas = rads, thetas
+        self.result = None
+
+    def registration(self, clouds):
+        from rspc_tpu.registration.auto import auto_register
+
+        ar = auto_register(clouds, thetas=self.thetas, rads=self.rads)
+        self.result = ar
+        print(
+            f"[PCL] auto preset: selected '{ar.selected}' "
+            f"(closures={ar.closures}, texture={ar.texture:.4f})"
+        )
+        return ar.global_cloud
+
+
+PRESETS = ("reference", "robust", "auto")
+
+
+def _extract_preset(args: List[str]) -> tuple:
+    """Strip an opt-in ``--preset NAME`` / ``--preset=NAME`` flag (or the
+    ``RSPC_PRESET`` env var) BEFORE the argc-dependent dispatch, so the
+    reference's exact positional grammar (main.cpp:185-237) is untouched
+    when the flag is absent. This is the user-facing entry point for the
+    beyond-reference capability stack (VERDICT r4 #3):
+
+      reference — the scheme the reference binary hard-codes (default)
+      robust    — robust_config(anchor_mode="map"): warm start + rescue
+                  + progressive map anchoring (RESULTS.md robustness matrix)
+      auto      — auto_register: measured trajectory-adaptive selection
+    """
+    preset = os.environ.get("RSPC_PRESET", "reference")
+    out = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--preset":
+            if i + 1 >= len(args):
+                raise ValueError("--preset requires a value " + str(PRESETS))
+            preset = args[i + 1]
+            i += 2
+            continue
+        if a.startswith("--preset="):
+            preset = a.split("=", 1)[1]
+            i += 1
+            continue
+        out.append(a)
+        i += 1
+    if preset not in PRESETS:
+        raise ValueError(f"unknown preset {preset!r}; choose from {PRESETS}")
+    return out, preset
+
+
+def _registration_scheme(preset: str, rads=None, thetas=None):
+    """NDT-edge scheme for ``--registration`` under the given preset
+    (reference default: main.cpp:208,218)."""
+    from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
+
+    kw = {}
+    if thetas is not None:
+        kw["thetas"] = thetas
+    elif rads is not None:
+        kw["rads"] = rads
+    if preset == "reference":
+        return NDTEdgeBasedRegistration(**kw)
+    if preset == "robust":
+        from rspc_tpu.presets import robust_config
+
+        return NDTEdgeBasedRegistration(
+            config=robust_config(anchor_mode="map"), **kw
+        )
+    return _AutoScheme(rads=rads, thetas=thetas)
 
 
 def registration(prefix: str, scheme, frames: int) -> None:
@@ -158,17 +259,25 @@ def viewer(name: str) -> None:
 
 
 def capture_and_registration(
-    frames: int, icp_based_filename: str, source_arg: Optional[str] = None
+    frames: int,
+    icp_based_filename: str,
+    source_arg: Optional[str] = None,
+    preset: str = "reference",
 ) -> None:
     """``--all``: live capture + ICP-edge registration with IMU thetas
-    (main.cpp:117-134)."""
+    (main.cpp:117-134). Under a non-reference ``--preset`` the ICP-edge
+    scheme is replaced by the robust NDT stack / auto selection with the
+    same IMU thetas (the beyond-reference surface, VERDICT r4 #3)."""
     from rspc_tpu.capture.replay import get_clouds
     from rspc_tpu.io.pcd import save_pcd
     from rspc_tpu.registration.schemes import ICPEdgeBasedRegistration
 
     src = _source(source_arg, frames)
     clouds, thetas = get_clouds(src, frames)
-    scheme = ICPEdgeBasedRegistration(thetas=thetas, dataset_dir=DATASET)
+    if preset == "reference":
+        scheme = ICPEdgeBasedRegistration(thetas=thetas, dataset_dir=DATASET)
+    else:
+        scheme = _registration_scheme(preset, thetas=thetas)
     result = scheme.registration(clouds)
     os.makedirs(DATASET, exist_ok=True)
     out = os.path.join(DATASET, icp_based_filename + ".pcd")
@@ -200,7 +309,14 @@ Options:
 
 SOURCE is an optional replay recording (.npz) or 'synthetic' (default) —
 no camera attaches to a TPU host; see rspc_tpu.capture.replay for the
-recording format."""
+recording format.
+
+Beyond-reference (opt-in; the default matches the reference binary):
+  --preset {reference|robust|auto}   (or env RSPC_PRESET=...)
+      registration stack for --registration / --all: 'robust' enables
+      warm start + rescue + progressive map anchoring; 'auto' measures a
+      candidate ladder on the trajectory and keeps the simplest winner
+      (see RESULTS.md robustness matrix)."""
 
 
 def _stoi(s: str) -> int:
@@ -230,6 +346,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 def _dispatch(argv: Optional[List[str]] = None) -> int:
     args = list(sys.argv if argv is None else argv)
+    # --preset is stripped before argc-dependent dispatch so the
+    # reference's positional grammar stays bit-exact without it
+    args, preset = _extract_preset(args)
     argc = len(args)
 
     if argc == 1:
@@ -244,22 +363,23 @@ def _dispatch(argv: Optional[List[str]] = None) -> int:
         edges(args[2])
         return 0
     if opt == "--registration" and argc == 4:
-        from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
-
-        registration(args[2], NDTEdgeBasedRegistration(), _stoi(args[3]))
+        registration(args[2], _registration_scheme(preset), _stoi(args[3]))
         return 0
     if opt == "--registration" and argc == 5:
-        from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
-
         rotation_deg = _stoi(args[3])
         rads = (rotation_deg / 180.0) * np.pi  # main.cpp:215
-        registration(args[2], NDTEdgeBasedRegistration(rads=rads), _stoi(args[4]))
+        registration(
+            args[2], _registration_scheme(preset, rads=rads), _stoi(args[4])
+        )
         return 0
     if opt == "--view" and argc == 3:
         viewer(args[2])
         return 0
     if opt == "--all" and argc in (4, 5):
-        capture_and_registration(_stoi(args[2]), args[3], args[4] if argc == 5 else None)
+        capture_and_registration(
+            _stoi(args[2]), args[3], args[4] if argc == 5 else None,
+            preset=preset,
+        )
         return 0
 
     print(HELP)

@@ -314,15 +314,16 @@ def compute_descriptors(
         aliases a 1 px shift into ~25% descriptor churn;
       * L2-normalize, clamp 0.2, renormalize (SIFT).
 
-    ``num_orientations=2`` additionally emits a descriptor at the SECOND
-    orientation-histogram peak when it reaches 0.8x the dominant one —
-    Lowe's multiple-orientation rule, which OpenCV implements by
-    duplicating the keypoint. Under rotation the dominant peak of
-    corresponding patches can flip between two near-equal peaks; the
-    duplicate is what survives the 0.3 ratio test then (measured: the
-    rotate8 match count was the one cell at less than half of OpenCV's).
-    Returns ``(desc f32[2K,128], valid bool[2K])`` with rows 2i / 2i+1
-    belonging to keypoint i (callers expand xy with ``jnp.repeat``,
+    ``num_orientations=N`` (N > 1) additionally emits descriptors at up
+    to N-1 further orientation-histogram peaks that reach 0.8x the
+    dominant one — Lowe's multiple-orientation rule, which OpenCV
+    implements by duplicating the keypoint for EVERY such peak. Under
+    rotation the dominant peak of corresponding patches can flip between
+    near-equal peaks; the duplicate is what survives the 0.3 ratio test
+    then (measured: the rotate8 match count was the one cell at less
+    than half of OpenCV's). Returns ``(desc f32[N*K,128], valid
+    bool[N*K])`` with rows N*i .. N*i+N-1 belonging to keypoint i
+    (callers expand xy/sigma with ``jnp.repeat(x, N, axis=0)``,
     mirroring OpenCV's duplicated-keypoint list); with the default 1,
     returns ``desc f32[K,128]`` as before.
     """
@@ -530,33 +531,50 @@ def compute_descriptors(
         d1 = desc_for(angle_of(peak1))
         if num_orientations == 1:
             return d1
-        # second peak: best bin at a circular distance >= 3 from the
-        # dominant one (a smoothed peak spans ~3 bins), emitted only at
-        # Lowe's 0.8x-of-max threshold
+        # additional peaks: iteratively the best bin at a circular
+        # distance >= 3 from every previously chosen peak (a smoothed
+        # peak spans ~3 bins), each emitted only at Lowe's 0.8x-of-max
+        # threshold. OpenCV emits EVERY such peak, not just a second one
+        # (VERDICT r4 #4 generalized the fixed second peak to N).
         idx36 = jnp.arange(36)
-        dist = jnp.minimum((idx36 - peak1) % 36, (peak1 - idx36) % 36)
-        masked = jnp.where(dist >= 3, hist36, -jnp.inf)
-        peak2 = jnp.argmax(masked)
-        ok2 = hist36[peak2] >= 0.8 * hist36[peak1]
-        return jnp.stack([d1, desc_for(angle_of(peak2))]), ok2
+        masked = hist36
+        descs = [d1]
+        oks = []
+        prev = peak1
+        for _ in range(num_orientations - 1):
+            dist = jnp.minimum((idx36 - prev) % 36, (prev - idx36) % 36)
+            masked = jnp.where(dist >= 3, masked, -jnp.inf)
+            p = jnp.argmax(masked)
+            oks.append(
+                jnp.isfinite(masked[p]) & (hist36[p] >= 0.8 * hist36[peak1])
+            )
+            descs.append(desc_for(angle_of(p)))
+            prev = p
+        return jnp.stack(descs), jnp.stack(oks)
 
     if num_orientations == 1:
         descs = jax.vmap(per_kp)(xy, sigma)
         return jnp.where(valid[:, None], descs, 0.0)
-    descs, ok2 = jax.vmap(per_kp)(xy, sigma)  # [K,2,128], [K]
+    descs, ok_x = jax.vmap(per_kp)(xy, sigma)  # [K,N,128], [K,N-1]
     k = xy.shape[0]
-    valid2 = jnp.stack([valid, valid & ok2], axis=1).reshape(2 * k)
-    flat = descs.reshape(2 * k, 128)
-    return jnp.where(valid2[:, None], flat, 0.0), valid2
+    n = num_orientations
+    valid_n = jnp.concatenate(
+        [valid[:, None], valid[:, None] & ok_x], axis=1
+    ).reshape(n * k)
+    flat = descs.reshape(n * k, 128)
+    return jnp.where(valid_n[:, None], flat, 0.0), valid_n
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("scale_gate",))
 def match_descriptors(
     desc_a: jnp.ndarray,
     valid_a: jnp.ndarray,
     desc_b: jnp.ndarray,
     valid_b: jnp.ndarray,
     ratio: float = 0.3,
+    sigma_a: jnp.ndarray | None = None,
+    sigma_b: jnp.ndarray | None = None,
+    scale_gate: float = 0.0,
 ):
     """2-NN matching with Lowe's ratio test (reference ratio 0.3,
     capture_opencv.hpp:66): for each A descriptor the two nearest B
@@ -568,6 +586,19 @@ def match_descriptors(
     accepts an arbitrary duplicate — the guard requires the 2-NN gap to
     be resolvable (sqrt(d2nd) - sqrt(d1) > 0.01 on unit-norm
     descriptors) before a match counts as unambiguous.
+
+    Scale-consistency gate (VERDICT r4 #4; opt-in via ``scale_gate`` > 1
+    with both ``sigma_a``/``sigma_b`` given, expanded like xy when
+    multi-orientation descriptors are matched): the surviving matches
+    vote a GLOBAL scale hypothesis (median log sigma ratio — the two
+    frames of a rigid scene are related by one camera motion, so
+    corresponding keypoints share one sigma ratio up to estimation
+    jitter), and matches whose own ratio deviates from it by more than a
+    factor of ``scale_gate`` are rejected. This kills the wrong-scale
+    duplicate confusions self-similar texture produces (a corner's
+    partner at the WRONG pyramid level has a near-identical descriptor;
+    geometry can't tell them apart but the sigma ratio — off by >= one
+    level, 1.26x+ — can).
 
     Returns (idx_b i32[K], good bool[K])."""
     # L2^2 = ||a||^2 + ||b||^2 - 2ab ; descriptors are unit norm -> 2 - 2ab
@@ -587,4 +618,16 @@ def match_descriptors(
         & (r1 < ratio * r2)
         & (r2 - r1 > 0.01)
     )
+    if scale_gate > 1.0 and sigma_a is not None and sigma_b is not None:
+        lr = jnp.log(
+            jnp.maximum(jnp.take(sigma_b, idx[:, 0]), 1e-6)
+            / jnp.maximum(sigma_a, 1e-6)
+        )
+        med_raw = jnp.nanmedian(jnp.where(good, lr, jnp.nan))
+        # with zero surviving matches the hypothesis is undefined — gate off
+        no_hyp = jnp.isnan(med_raw)
+        med = jnp.where(no_hyp, 0.0, med_raw)
+        good = good & (
+            no_hyp | (jnp.abs(lr - med) <= float(np.log(scale_gate)))
+        )
     return idx[:, 0], good

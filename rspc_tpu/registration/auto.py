@@ -209,9 +209,12 @@ class AutoResult:
     total_transforms: jnp.ndarray
     selected: str                 # winning candidate name
     scores: dict                  # name -> per-group consistency tuple
+                                  # (fast path: only the ran candidates)
     closures: tuple               # detected closure skip offsets
     texture: float                # measured texture score
     scheme: object                # the winning scheme instance (diagnostics)
+    escalated: bool = True        # False = fast path kept the simplest
+                                  # candidate without running the ladder
 
 
 def build_ladder(
@@ -290,6 +293,48 @@ def select(scores: dict, margin: float) -> str:
     return winner
 
 
+def collapse_signature(fine_inliers, frac: float = 0.15) -> bool:
+    """The texture-starved drift signature the colored fine stage was
+    built for (RESULTS.md `combined`): fine-cap edge inlier counts
+    collapsing across the chain — late frames' minimum under ``frac`` of
+    early frames' maximum. ``fine_inliers`` is the per-pair
+    n_correspondences sequence of a finished run."""
+    fine_inl = np.asarray(fine_inliers, np.float64)
+    if fine_inl.size < 2:
+        return False
+    third = max(2, fine_inl.size // 3)
+    early = float(fine_inl[:third].max())
+    late = float(fine_inl[-third:].min())
+    return early > 0 and late / max(early, 1.0) < frac
+
+
+def colored_tiebreak(
+    winner: str, scores: dict, collapsed: bool, margin: float
+) -> str:
+    """Decide whether the colored candidate takes the win on its
+    mechanism's measured record (see auto_register's inline rationale).
+
+    The tiebreak fires ONLY when all three hold: the collapse signature
+    fired on the winning run, the colored candidate actually ran, and
+    its score is within ``margin`` of the incumbent on EVERY validation
+    group. The third condition is the false-positive guard: a collapse
+    signature on a trajectory where color is measurably WRONG (e.g.
+    wrong-lock aliasing on repeated texture, or a loop where color
+    regresses the closure group) shows up as a >margin regression on
+    some group, and the incumbent is kept."""
+    if not collapsed or "robust_color" not in scores:
+        return winner
+    if winner == "robust_color":
+        return winner
+
+    def vec(v):
+        return tuple(v) if hasattr(v, "__len__") else (v,)
+
+    cur, inc = vec(scores["robust_color"]), vec(scores[winner])
+    within = all(c - i <= margin for c, i in zip(cur, inc))
+    return "robust_color" if within else winner
+
+
 def auto_register(
     clouds,
     thetas: Optional[np.ndarray] = None,
@@ -298,6 +343,8 @@ def auto_register(
     texture_min: float = 0.001,
     score_radius: float = 0.05,
     candidates: Optional[dict] = None,
+    fast: bool = True,
+    escalate_score: float = 0.30,
 ) -> AutoResult:
     """Register a sequence with measured candidate selection (see module
     docstring). ``thetas``/``rads`` follow the scheme ctor conventions
@@ -310,6 +357,25 @@ def auto_register(
     (mean |dI| per pixel step; texture-free scenes give the photometric
     rows nothing to hold on to). ``candidates`` overrides the ladder as
     an ordered {name: PipelineConfig} dict.
+
+    ``fast`` (VERDICT r4 #8): run the FIRST (simplest) candidate alone
+    and return it unless the trajectory's own signals say it is hard —
+    closure structure in the guesses (the loop scenarios, where the
+    ladder's map/graph candidates exist), the fine-inlier collapse
+    signature on the first run (the texture-starved drift wall), or the
+    first run's SEQUENTIAL-pair group scoring above ``escalate_score``.
+    The sequential group is the right escalation signal because its
+    floor is trajectory-independent (pure inter-frame voxel sampling
+    residual), while the mid-skip group's floor moves with per-frame
+    motion (overlap saturation) — measured on the full matrix at seed 2
+    (RESULTS.md r5): clean / low_texture sequential scores are 0.173 /
+    0.172 while EVERY scenario that needs a robust candidate measures
+    >= 0.449 (noise_mild), so 0.30 splits them with ~1.5x margin on
+    BOTH sides; the clean mid-skip score (0.503) would sit above any
+    workable shared threshold. A clean trajectory then costs ONE chain +
+    one score instead of the 3-4 chain ladder; any escalation signal
+    runs the remaining candidates and selects exactly as ``fast=False``
+    would.
     """
     from rspc_tpu.registration.schemes import NDTEdgeBasedRegistration
 
@@ -341,11 +407,13 @@ def auto_register(
     pair_groups = tuple(g for g in groups if g)
     score_color = 1.0 if tex >= texture_min else 0.0
 
-    # --- run + score every candidate ----------------------------------
+    # --- run + score candidates ---------------------------------------
     runs = {}
     scores = {}
     fulls_ref = None
-    for name, cfg in candidates.items():
+
+    def run_and_score(name, cfg):
+        nonlocal fulls_ref
         s = NDTEdgeBasedRegistration(config=cfg, **guess_kw)
         g = s.registration(clouds)
         out, _n = s._fused_out
@@ -370,6 +438,26 @@ def auto_register(
             )
         )
 
+    names = list(candidates)
+    run_and_score(names[0], candidates[names[0]])
+
+    # fast path (VERDICT r4 #8): keep the simplest candidate outright
+    # when nothing says the trajectory is hard — see docstring
+    escalate = (
+        not fast
+        or len(names) == 1
+        or bool(closures)
+        or collapse_signature(
+            [int(f.n_correspondences) for _, f in runs[names[0]][0].results]
+        )
+        # sequential group only — pair_groups[0] by construction; the
+        # mid-skip group's floor moves with per-frame motion (docstring)
+        or scores[names[0]][0] > escalate_score
+    )
+    if escalate:
+        for name in names[1:]:
+            run_and_score(name, candidates[name])
+
     # --- hysteresis selection: simplest-first, challengers must win ---
     winner = select(scores, margin)
 
@@ -389,17 +477,10 @@ def auto_register(
     # on the mechanism's measured record rather than an unobservable
     # score difference.
     if "robust_color" in runs and winner != "robust_color":
-        fine_inl = np.array(
-            [int(f.n_correspondences) for _, f in runs[winner][0].results],
-            np.float64,
+        collapsed = collapse_signature(
+            [int(f.n_correspondences) for _, f in runs[winner][0].results]
         )
-        early = float(fine_inl[: max(2, len(fine_inl) // 3)].max())
-        late = float(fine_inl[-max(2, len(fine_inl) // 3):].min())
-        collapsed = early > 0 and late / max(early, 1.0) < 0.15
-        cur, inc = scores["robust_color"], scores[winner]
-        within = all(c - i <= margin for c, i in zip(cur, inc))
-        if collapsed and within:
-            winner = "robust_color"
+        winner = colored_tiebreak(winner, scores, collapsed, margin)
 
     s, g = runs[winner]
     return AutoResult(
@@ -410,4 +491,5 @@ def auto_register(
         closures=closures,
         texture=tex,
         scheme=s,
+        escalated=escalate,
     )

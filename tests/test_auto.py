@@ -19,6 +19,8 @@ from rspc_tpu.registration.auto import (
     auto_register,
     build_ladder,
     closure_pairs,
+    collapse_signature,
+    colored_tiebreak,
     detect_closures,
     select,
     texture_score,
@@ -115,6 +117,46 @@ def test_select_per_group():
     )
 
 
+def test_collapse_signature():
+    # healthy chain: counts stay high -> no signature
+    assert not collapse_signature([1100, 1050, 980, 1010, 990, 1020])
+    # the measured `combined` shape: 1118 -> 45 fires it
+    assert collapse_signature([1118, 900, 600, 300, 120, 45])
+    # degenerate inputs never fire
+    assert not collapse_signature([])
+    assert not collapse_signature([500])
+    assert not collapse_signature([0, 0, 0, 0])
+
+
+def test_colored_tiebreak_false_positive_guard():
+    """VERDICT r4 #2: a collapse signature where color is NOT the right
+    answer must not flip the winner. When the colored candidate's score
+    REGRESSES some validation group by more than the margin (color
+    measurably hurting — e.g. wrong-lock aliasing on repeated texture,
+    or a loop trajectory where color breaks the closure group), the
+    incumbent is kept even though the signature fired."""
+    m = 0.015
+    # color regresses the closure group (3rd) by 4x margin: keep map
+    scores = {
+        "north_star": (0.50, 0.60, 0.80),
+        "robust_map": (0.40, 0.50, 0.30),
+        "robust_color": (0.40, 0.50, 0.36),
+    }
+    assert colored_tiebreak("robust_map", scores, True, m) == "robust_map"
+    # within-noise on every group + collapse: tiebreak fires
+    scores_ok = {
+        "robust_map": (0.40, 0.50, 0.30),
+        "robust_color": (0.41, 0.50, 0.31),
+    }
+    assert colored_tiebreak("robust_map", scores_ok, True, m) == "robust_color"
+    # no collapse: never fires even within noise
+    assert colored_tiebreak("robust_map", scores_ok, False, m) == "robust_map"
+    # color absent from the ladder (no texture): no-op
+    assert colored_tiebreak("robust_map", {"robust_map": (0.4,)}, True, m) == "robust_map"
+    # color already the winner: stable
+    assert colored_tiebreak("robust_color", scores_ok, True, m) == "robust_color"
+
+
 def test_auto_register_end_to_end_keeps_simplest():
     """One small full run: on a clean scene the robust stack measures
     within noise of plain and hysteresis keeps plain. The ladder is
@@ -129,6 +171,7 @@ def test_auto_register_end_to_end_keeps_simplest():
     res = auto_register(
         clouds,
         rads=-0.08,
+        fast=False,
         candidates={
             "north_star": north_star_config(),
             "robust_map": robust_config(anchor_mode="map"),
@@ -137,6 +180,7 @@ def test_auto_register_end_to_end_keeps_simplest():
     assert res.selected == "north_star", res.scores
     assert set(res.scores) == {"north_star", "robust_map"}
     assert res.closures == ()
+    assert res.escalated  # fast=False always runs the full ladder
     gts = np.stack([seq.gt_transform(i) for i in range(1, 3)])
     err = float(np.abs(np.asarray(res.total_transforms) - gts).max())
     assert err < 5e-2, err

@@ -109,6 +109,63 @@ def test_cli_registration_roundtrip(in_tmp):
     assert os.path.exists("dataset/t-registration.png")
 
 
+def test_cli_preset_flag_parsing():
+    """--preset / --preset= / RSPC_PRESET are stripped before the
+    argc-dependent dispatch; unknown presets exit 1 via the catch-all."""
+    from rspc_tpu.cli import _extract_preset
+
+    args, p = _extract_preset(["rspc", "--registration", "t", "2"])
+    assert p == "reference" and args == ["rspc", "--registration", "t", "2"]
+    args, p = _extract_preset(
+        ["rspc", "--registration", "t", "2", "--preset", "auto"]
+    )
+    assert p == "auto" and args == ["rspc", "--registration", "t", "2"]
+    args, p = _extract_preset(["rspc", "--preset=robust", "--view", "x"])
+    assert p == "robust" and args == ["rspc", "--view", "x"]
+    # unknown preset -> ValueError -> main() exit 1 (reference catch-all)
+    assert cli.main(["rspc", "--registration", "t", "2", "--preset", "bogus"]) == 1
+
+
+def test_cli_preset_env(in_tmp, monkeypatch):
+    monkeypatch.setenv("RSPC_PRESET", "nope")
+    assert cli.main(["rspc", "--view", "whatever"]) == 1  # rejected early
+    monkeypatch.setenv("RSPC_PRESET", "reference")
+    from rspc_tpu.cli import _extract_preset
+
+    assert _extract_preset(["rspc"])[1] == "reference"
+
+
+def test_cli_registration_preset_auto_hard_trajectory(in_tmp, capsys):
+    """VERDICT r4 #3 done-bar: a hard synthetic trajectory registered
+    end-to-end through the CLI with --preset auto. Out-and-back yaw sweep
+    (closure structure) at small resolution; the auto scheme must run its
+    ladder, print the selection, and produce the reference-named outputs
+    (no-extension quirk + render)."""
+    yaw_sched = tuple(-0.15 * y for y in (0, 1, 2, 1, 0, 1))
+    seq = SyntheticSequence(
+        n_frames=6, yaw_schedule=yaw_sched, intr=Intrinsics.simple(80, 60)
+    )
+    os.makedirs("dataset", exist_ok=True)
+    save_dataset_clouds("hard", seq.clouds(), "dataset")
+    assert cli.main(["rspc", "--registration", "hard", "-9", "6",
+                     "--preset", "auto"]) == 0
+    out = capsys.readouterr().out
+    assert "auto preset: selected '" in out
+    assert os.path.exists("dataset/hard-registration")
+    assert os.path.exists("dataset/hard-registration.png")
+
+
+def test_cli_registration_preset_robust(in_tmp):
+    seq = SyntheticSequence(n_frames=2, yaw_step=-0.1,
+                            intr=Intrinsics.simple(80, 60))
+    os.makedirs("dataset", exist_ok=True)
+    save_dataset_clouds("rb", seq.clouds(), "dataset")
+    deg = int(round(np.degrees(-0.1)))
+    assert cli.main(["rspc", "--registration", "rb", str(deg), "2",
+                     "--preset=robust"]) == 0
+    assert os.path.exists("dataset/rb-registration")
+
+
 def test_cli_edges_and_registration_go_interactive_on_tty(in_tmp, monkeypatch):
     """TTY parity (VERDICT r3 #9): the reference's --edges and
     --registration paths END in a live render loop (main.cpp:70-73,

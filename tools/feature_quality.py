@@ -77,7 +77,10 @@ def _apply_h(hmat, xy):
     return m[:, :2] / m[:, 2:3]
 
 
-def measure_ours(gray_a, gray_b, hmat, tol=3.0, ratio=0.3, max_kp=512):
+def measure_ours(
+    gray_a, gray_b, hmat, tol=3.0, ratio=0.3, max_kp=512,
+    num_orientations=2, scale_gate=1.5,
+):
     import jax.numpy as jnp
 
     from rspc_tpu.ops.keypoints import (
@@ -90,14 +93,21 @@ def measure_ours(gray_a, gray_b, hmat, tol=3.0, ratio=0.3, max_kp=512):
     xy_a, _, va, sa = detect_keypoints(ga, max_keypoints=max_kp)
     xy_b, _, vb, sb = detect_keypoints(gb, max_keypoints=max_kp)
     # multiple-orientation emission (Lowe's 0.8x rule): descriptors come
-    # back [2K, 128] with their own validity; keypoints expand by repeat,
-    # exactly OpenCV's duplicated-keypoint list
-    da, va2 = compute_descriptors(ga, xy_a, va, sa, num_orientations=2)
-    db, vb2 = compute_descriptors(gb, xy_b, vb, sb, num_orientations=2)
-    idx, good = match_descriptors(da, va2, db, vb2, ratio=ratio)
+    # back [N*K, 128] with their own validity; keypoints/sigmas expand by
+    # repeat, exactly OpenCV's duplicated-keypoint list. The sigma pair
+    # feeds the matcher's scale-consistency gate (VERDICT r4 #4).
+    n = num_orientations
+    da, va2 = compute_descriptors(ga, xy_a, va, sa, num_orientations=n)
+    db, vb2 = compute_descriptors(gb, xy_b, vb, sb, num_orientations=n)
+    idx, good = match_descriptors(
+        da, va2, db, vb2, ratio=ratio,
+        sigma_a=jnp.repeat(sa, n, axis=0),
+        sigma_b=jnp.repeat(sb, n, axis=0),
+        scale_gate=scale_gate,
+    )
 
-    xy_a2 = np.repeat(np.asarray(xy_a), 2, axis=0)
-    xy_b2 = np.repeat(np.asarray(xy_b), 2, axis=0)
+    xy_a2 = np.repeat(np.asarray(xy_a), n, axis=0)
+    xy_b2 = np.repeat(np.asarray(xy_b), n, axis=0)
     va2, vb2 = np.asarray(va2), np.asarray(vb2)
     idx, good = np.asarray(idx), np.asarray(good)
     return _stats(
