@@ -254,6 +254,7 @@ def main():
                     s = ar.scheme
                     r = ar.global_cloud
                     auto_selected = ar.selected
+                    auto_escalated = bool(ar.escalated)
                     auto_scores = {
                         k: [round(x, 8) for x in v]
                         for k, v in ar.scores.items()
@@ -333,6 +334,7 @@ def main():
             }
             if scheme_name == "ndt_edge_auto":
                 row["selected"] = auto_selected
+                row["escalated"] = auto_escalated
                 row["scores"] = auto_scores
             rows.append(row)
             print(json.dumps(row), flush=True)

@@ -79,7 +79,7 @@ def _apply_h(hmat, xy):
 
 def measure_ours(
     gray_a, gray_b, hmat, tol=3.0, ratio=0.3, max_kp=512,
-    num_orientations=2, scale_gate=1.5,
+    num_orientations=2, scale_gate=1.5, num_octaves=2,
 ):
     import jax.numpy as jnp
 
@@ -90,15 +90,23 @@ def measure_ours(
     )
 
     ga, gb = jnp.asarray(gray_a), jnp.asarray(gray_b)
-    xy_a, _, va, sa = detect_keypoints(ga, max_keypoints=max_kp)
-    xy_b, _, vb, sb = detect_keypoints(gb, max_keypoints=max_kp)
+    xy_a, _, va, sa = detect_keypoints(
+        ga, max_keypoints=max_kp, num_octaves=num_octaves
+    )
+    xy_b, _, vb, sb = detect_keypoints(
+        gb, max_keypoints=max_kp, num_octaves=num_octaves
+    )
     # multiple-orientation emission (Lowe's 0.8x rule): descriptors come
     # back [N*K, 128] with their own validity; keypoints/sigmas expand by
     # repeat, exactly OpenCV's duplicated-keypoint list. The sigma pair
     # feeds the matcher's scale-consistency gate (VERDICT r4 #4).
     n = num_orientations
-    da, va2 = compute_descriptors(ga, xy_a, va, sa, num_orientations=n)
-    db, vb2 = compute_descriptors(gb, xy_b, vb, sb, num_orientations=n)
+    da, va2 = compute_descriptors(
+        ga, xy_a, va, sa, num_orientations=n, num_octaves=num_octaves
+    )
+    db, vb2 = compute_descriptors(
+        gb, xy_b, vb, sb, num_orientations=n, num_octaves=num_octaves
+    )
     idx, good = match_descriptors(
         da, va2, db, vb2, ratio=ratio,
         sigma_a=jnp.repeat(sa, n, axis=0),
