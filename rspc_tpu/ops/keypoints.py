@@ -17,8 +17,16 @@ component, engineered TPU-first rather than cycle-accurate to OpenCV:
     (ops/match below), not a kd-tree/FLANN approximation.
 
 Documented divergences from OpenCV SIFT: a fixed small number of
-octaves above base (default 2, vs OpenCV's image-size-derived ~5; each
-octave has fixed shapes so the whole pyramid stays jittable);
+octaves above base (default 3, vs OpenCV's image-size-derived ~5; each
+octave has fixed shapes so the whole pyramid stays jittable — the 48 px
+floor statically drops octaves a small image can't fill. The 2->3
+default change was measured, r5: at 2 octaves the sigma range tops out
+at ~3.3, and top-of-range keypoints CLAMP under a zoom — the
+corresponding keypoint's true sigma is unrepresentable, its descriptor
+samples the wrong world extent, and self-similar texture then wins the
+ratio test at the wrong POSITION; the third octave lifted scale1.12
+inliers 0.761 -> 0.849 and repeatability 0.52 -> 0.87, and rotate8
+matches 36 -> 48 vs OpenCV's 53);
 descriptors sample full-resolution Gaussian levels of the matching
 absolute sigma (lerped) rather than per-octave subsampled grids. The
 2x-upsampled base octave (OpenCV's octave -1, where most of its
@@ -210,7 +218,7 @@ def detect_keypoints(
     num_scales: int = 3,
     contrast_threshold: float = 0.02,
     edge_ratio: float = 10.0,
-    num_octaves: int = 2,
+    num_octaves: int = 3,
     first_octave: int = -1,
 ):
     """DoG extrema over octaves ``first_octave .. num_octaves-1``.
@@ -281,7 +289,7 @@ def compute_descriptors(
     valid: jnp.ndarray,
     sigma: jnp.ndarray | None = None,
     num_scales: int = 3,
-    num_octaves: int = 2,
+    num_octaves: int = 3,
     first_octave: int = -1,
     num_orientations: int = 1,
 ):
@@ -565,7 +573,7 @@ def compute_descriptors(
     return jnp.where(valid_n[:, None], flat, 0.0), valid_n
 
 
-@partial(jax.jit, static_argnames=("scale_gate",))
+@partial(jax.jit, static_argnames=("scale_gate", "mutual_group"))
 def match_descriptors(
     desc_a: jnp.ndarray,
     valid_a: jnp.ndarray,
@@ -575,6 +583,7 @@ def match_descriptors(
     sigma_a: jnp.ndarray | None = None,
     sigma_b: jnp.ndarray | None = None,
     scale_gate: float = 0.0,
+    mutual_group: int = 0,
 ):
     """2-NN matching with Lowe's ratio test (reference ratio 0.3,
     capture_opencv.hpp:66): for each A descriptor the two nearest B
@@ -598,7 +607,21 @@ def match_descriptors(
     duplicate confusions self-similar texture produces (a corner's
     partner at the WRONG pyramid level has a near-identical descriptor;
     geometry can't tell them apart but the sigma ratio — off by >= one
-    level, 1.26x+ — can).
+    level, 1.26x+ — can). Measured caveat (r5): on the synthetic warp
+    suite the surviving confusions turned out to be same-scale
+    wrong-POSITION duplicates (outlier log sigma-ratios ~0), so the gate
+    is a no-op there — the mutual cross-check below is what kills them;
+    the gate stays as an opt-in defense for genuinely multi-scale
+    confusion regimes.
+
+    Mutual cross-check (``mutual_group`` = the descriptor-row group
+    size, i.e. ``num_orientations``; 0 = off): a match also requires
+    B's chosen row's own nearest A row to map back to the SAME A
+    keypoint (any orientation row of it — hence the group size). One
+    extra argmin over the already-computed distance matrix. Measured
+    (r5, 3-octave defaults): scale1.12 inliers 0.849 -> 0.950, shift
+    0.957 -> 0.991, rotate8/perspective unchanged at 1.000, match
+    counts stay within 2x of OpenCV on every warp.
 
     Returns (idx_b i32[K], good bool[K])."""
     # L2^2 = ||a||^2 + ||b||^2 - 2ab ; descriptors are unit norm -> 2 - 2ab
@@ -630,4 +653,13 @@ def match_descriptors(
         good = good & (
             no_hyp | (jnp.abs(lr - med) <= float(np.log(scale_gate)))
         )
+    if mutual_group:
+        # B row -> its nearest VALID A row, from the same distance
+        # matrix (masked along A); match keeps only if that round trip
+        # lands on the same A keypoint (row // group)
+        d2_back = jnp.where(valid_a[:, None], 2.0 - 2.0 * sim, jnp.inf)
+        best_a = jnp.argmin(d2_back, axis=0)  # [Kb]
+        back = jnp.take(best_a, idx[:, 0])
+        ka = jnp.arange(desc_a.shape[0], dtype=back.dtype)
+        good = good & (back // mutual_group == ka // mutual_group)
     return idx[:, 0], good

@@ -128,29 +128,26 @@ def main():
     tallies = {}
     rcs = []
     t0 = time.time()
+    # Group overlap (VERDICT r4 #6): on a multi-CPU box the groups run
+    # concurrently up to RSPC_TEST_CONCURRENCY (default: CPU count,
+    # capped at the group count) — XLA:CPU compiles are single-threaded
+    # per process, so overlapping fresh pytest processes scales the
+    # suite wall down nearly linearly. A 1-CPU box keeps the serial
+    # streaming path (concurrency would only thrash).
+    conc = int(os.environ.get("RSPC_TEST_CONCURRENCY", "0")) or max(
+        1, min(len(groups), os.cpu_count() or 1)
+    )
     print(
         f"[proc-runner] {len(mods)} modules in {len(groups)} "
-        f"process groups of <= {_GROUP}",
+        f"process groups of <= {_GROUP}"
+        + (f", {conc} concurrent" if conc > 1 else ""),
         flush=True,
     )
-    for gi, group in enumerate(groups):
-        tg = time.time()
-        p = subprocess.Popen(
-            child_prefix + flags + group,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
-        )
-        tail = []
-        for line in p.stdout:
-            sys.stdout.write(line)
-            tail.append(line)
-            if len(tail) > 50:
-                tail.pop(0)
-        rc = p.wait()
+
+    def _tally(gi, rc, text, tg):
         rcs.append(rc)
-        for n, kind in _SUMMARY_RE.findall("".join(tail)):
+        tail = "".join(text.splitlines(keepends=True)[-50:])
+        for n, kind in _SUMMARY_RE.findall(tail):
             k = "error" if kind.startswith("error") else kind
             tallies[k] = tallies.get(k, 0) + int(n)
         print(
@@ -158,10 +155,66 @@ def main():
             f"({time.time() - tg:.0f}s)",
             flush=True,
         )
-        if rc in (2, 3, 4):  # interrupted / internal error / usage error
-            break
-        if rc not in (0, 5) and exit_first:
-            break
+
+    if conc == 1:
+        for gi, group in enumerate(groups):
+            tg = time.time()
+            p = subprocess.Popen(
+                child_prefix + flags + group,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+            text = []
+            for line in p.stdout:
+                sys.stdout.write(line)
+                text.append(line)
+            rc = p.wait()
+            _tally(gi, rc, "".join(text), tg)
+            if rc in (2, 3, 4):  # interrupted / internal / usage error
+                break
+            if rc not in (0, 5) and exit_first:
+                break
+    else:
+        import threading
+
+        lock = threading.Lock()
+        stop = threading.Event()
+        next_gi = [0]
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    gi = next_gi[0]
+                    if gi >= len(groups):
+                        return
+                    next_gi[0] += 1
+                tg = time.time()
+                p = subprocess.Popen(
+                    child_prefix + flags + groups[gi],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                    env=env,
+                )
+                out, _ = p.communicate()
+                with lock:
+                    sys.stdout.write(out)
+                    _tally(gi, p.returncode, out, tg)
+                    if p.returncode in (2, 3, 4) or (
+                        p.returncode not in (0, 5) and exit_first
+                    ):
+                        stop.set()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(conc)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
 
     summary = ", ".join(f"{v} {k}" for k, v in sorted(tallies.items()))
     print(

@@ -41,34 +41,53 @@ def setup():
 
 
 def test_translation_quality(setup):
+    # r5 defaults (3 octaves, 3 orientations, mutual) measure 219/0.991
     ga, hs, warped = setup
     r = measure_ours(ga, warped["shift"], hs["shift"], ratio=0.3)
     assert r["repeatability"] >= 0.9, r
-    assert r["n_matches"] >= 20, r
-    assert r["inlier_rate"] >= 0.9, r
+    assert r["n_matches"] >= 100, r
+    assert r["inlier_rate"] >= 0.95, r
 
 
 def test_rotation_quality(setup):
+    # r5 measures 48/1.000 (OpenCV 53) with repeatability 0.83
     ga, hs, warped = setup
     r = measure_ours(ga, warped["rotate8"], hs["rotate8"], ratio=0.3)
-    assert r["repeatability"] >= 0.5, r
-    assert r["n_matches"] >= 3, r
-    assert r["inlier_rate"] >= 0.7, r
+    assert r["repeatability"] >= 0.65, r
+    assert r["n_matches"] >= 30, r
+    assert r["inlier_rate"] >= 0.9, r
 
 
 def test_scale_floor(setup):
-    # floor set under the measured 0.92 (match counts are ~26, so the
-    # rate carries ~0.05 sampling noise)
+    # r5 measures 60/0.950 (OpenCV 39/0.974): the third octave removes
+    # the top-of-range sigma clamp, the mutual cross-check kills the
+    # same-scale wrong-position duplicates (VERDICT r4 #4 closed) —
+    # floor at the done-bar 0.85 with ~0.1 margin under the measurement
     ga, hs, warped = setup
     r = measure_ours(ga, warped["scale1.12"], hs["scale1.12"], ratio=0.3)
-    assert r["repeatability"] >= 0.4, r
-    assert r["n_matches"] >= 12, r
-    assert r["inlier_rate"] >= 0.7, r
+    assert r["repeatability"] >= 0.7, r
+    assert r["n_matches"] >= 35, r
+    assert r["inlier_rate"] >= 0.85, r
 
 
 def test_perspective_floor(setup):
-    # multi-octave + lerped orientation took perspective 0.556 -> 0.95
+    # r5 measures 49/1.000 (OpenCV 48)
     ga, hs, warped = setup
     r = measure_ours(ga, warped["perspective"], hs["perspective"], ratio=0.3)
-    assert r["n_matches"] >= 8, r
-    assert r["inlier_rate"] >= 0.7, r
+    assert r["n_matches"] >= 30, r
+    assert r["inlier_rate"] >= 0.9, r
+
+
+def test_match_counts_within_2x_of_opencv(setup):
+    """VERDICT r4 #4 done-bar: ratio-0.3 match counts within 2x of
+    OpenCV SIFT on every warp (they currently EXCEED OpenCV on all but
+    rotate8, which sits at 0.9x)."""
+    from tools.feature_quality import measure_opencv
+
+    ga, hs, warped = setup
+    for name in hs:
+        ours = measure_ours(ga, warped[name], hs[name], ratio=0.3)
+        ref = measure_opencv(ga, warped[name], hs[name], ratio=0.3)
+        assert ref is None or ours["n_matches"] >= 0.5 * ref["n_matches"], (
+            name, ours, ref,
+        )

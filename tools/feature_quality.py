@@ -79,7 +79,7 @@ def _apply_h(hmat, xy):
 
 def measure_ours(
     gray_a, gray_b, hmat, tol=3.0, ratio=0.3, max_kp=512,
-    num_orientations=2, scale_gate=1.5, num_octaves=2,
+    num_orientations=3, scale_gate=0.0, num_octaves=3, mutual=True,
 ):
     import jax.numpy as jnp
 
@@ -112,6 +112,7 @@ def measure_ours(
         sigma_a=jnp.repeat(sa, n, axis=0),
         sigma_b=jnp.repeat(sb, n, axis=0),
         scale_gate=scale_gate,
+        mutual_group=n if mutual else 0,
     )
 
     xy_a2 = np.repeat(np.asarray(xy_a), n, axis=0)
