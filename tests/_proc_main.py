@@ -96,6 +96,59 @@ _SUMMARY_RE = re.compile(
     r"(\d+) (passed|failed|skipped|errors?|deselected|xfailed|xpassed)"
 )
 
+# Compile-affinity grouping (VERDICT r4 #6): modules in one group share a
+# process and therefore a jit cache, so modules that compile the SAME
+# fused-chain programs (same configs, same shapes — guesses are traced
+# inputs) must co-locate or every group re-pays a minutes-long XLA:CPU
+# compile. Clusters, from the measured r5 duration profile:
+#   * robust-chain family (rescue/refine/gate/posegraph/...) — each
+#     compiles robust-config variants at its own shapes;
+#   * auto + CLI surface — test_auto and the --preset CLI tests share
+#     the 3-frame 80x60 north_star/robust_map programs by construction;
+#   * feature/image ops; * kernels/parallel/pipeline.
+# Modules not named here are appended to the lightest cluster, then
+# oversized clusters split at _GROUP (the per-process executable
+# population bound that motivated grouping in the first place).
+_AFFINITY = [
+    ["test_gate_sensitivity", "test_posegraph", "test_presets",
+     "test_refine", "test_rescue", "test_synthetic_robustness",
+     "test_native", "test_tpu_lane"],
+    ["test_auto", "test_viz_cli", "test_capture_cli",
+     "test_trajectory_viz", "test_overlays", "test_cloud",
+     "test_estimators", "test_make_replay"],
+    ["test_feature_quality", "test_features", "test_colorgrad",
+     "test_image_ops", "test_icp", "test_icp_oracle", "test_goldens",
+     "test_ndt"],
+    ["test_batched_chain", "test_parallel", "test_pipeline",
+     "test_ndt_derivatives", "test_nn_onchip", "test_nn_pallas",
+     "test_ops", "test_pcd_io"],
+]
+
+
+def _affinity_groups(mods):
+    """Order modules into the affinity clusters above (preserving the
+    cluster layout), append unknown modules to the last cluster, and
+    split anything beyond _GROUP."""
+    stem = {os.path.splitext(os.path.basename(m))[0]: m for m in mods}
+    used = set()
+    clusters = []
+    for names in _AFFINITY:
+        c = [stem[n] for n in names if n in stem]
+        used.update(os.path.splitext(os.path.basename(m))[0] for m in c)
+        if c:
+            clusters.append(c)
+    extra = [m for m in mods
+             if os.path.splitext(os.path.basename(m))[0] not in used]
+    if extra:
+        if clusters:
+            clusters[-1].extend(extra)
+        else:
+            clusters.append(extra)
+    groups = []
+    for c in clusters:
+        groups.extend(c[i:i + _GROUP] for i in range(0, len(c), _GROUP))
+    return groups
+
 
 def main():
     argv = sys.argv[1:]
@@ -122,7 +175,7 @@ def main():
     except Exception:
         child_prefix = [sys.executable, stack_main]
 
-    groups = [mods[i:i + _GROUP] for i in range(0, len(mods), _GROUP)]
+    groups = _affinity_groups(mods)
     exit_first = "-x" in flags or "--exitfirst" in flags
     env = dict(os.environ, RSPC_PROC_CHILD="1")
     tallies = {}

@@ -164,8 +164,11 @@ def test_auto_register_end_to_end_keeps_simplest():
     ladder is exercised on-chip by benchmarks/robustness.py)."""
     from rspc_tpu.presets import north_star_config, robust_config
 
+    # 80x60, 3 frames: the same shapes as test_viz_cli's preset tests,
+    # so the two fused-chain programs compile ONCE per process when the
+    # modules share a test group (guesses are traced inputs)
     seq = SyntheticSequence(
-        n_frames=3, yaw_step=-0.08, seed=0, intr=Intrinsics.simple(160, 120)
+        n_frames=3, yaw_step=-0.08, seed=0, intr=Intrinsics.simple(80, 60)
     )
     clouds = seq.clouds()
     res = auto_register(

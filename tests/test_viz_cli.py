@@ -137,17 +137,23 @@ def test_cli_preset_env(in_tmp, monkeypatch):
 
 def test_cli_registration_preset_auto_hard_trajectory(in_tmp, capsys):
     """VERDICT r4 #3 done-bar: a hard synthetic trajectory registered
-    end-to-end through the CLI with --preset auto. Out-and-back yaw sweep
-    (closure structure) at small resolution; the auto scheme must run its
-    ladder, print the selection, and produce the reference-named outputs
-    (no-extension quirk + render)."""
-    yaw_sched = tuple(-0.15 * y for y in (0, 1, 2, 1, 0, 1))
+    end-to-end through the CLI with --preset auto. Hard = large per-frame
+    yaw (partial overlap — the auto escalation signal fires on the
+    sequential-group score) at low texture (keeps the colored candidate
+    out of the ladder, bounding XLA:CPU compile cost: this test costs
+    two fused-chain compiles, shared with the module's other preset
+    tests and test_auto when grouped in one process — 3 frames at 80x60
+    everywhere, guesses are traced inputs so yaw values don't split the
+    cache). The CLI must run the ladder, print the selection, and
+    produce the reference-named outputs (no-extension quirk + render)."""
     seq = SyntheticSequence(
-        n_frames=6, yaw_schedule=yaw_sched, intr=Intrinsics.simple(80, 60)
+        n_frames=3, yaw_step=-0.3, texture_contrast=0.05,
+        intr=Intrinsics.simple(80, 60),
     )
     os.makedirs("dataset", exist_ok=True)
     save_dataset_clouds("hard", seq.clouds(), "dataset")
-    assert cli.main(["rspc", "--registration", "hard", "-9", "6",
+    deg = int(round(np.degrees(-0.3)))
+    assert cli.main(["rspc", "--registration", "hard", str(deg), "3",
                      "--preset", "auto"]) == 0
     out = capsys.readouterr().out
     assert "auto preset: selected '" in out
@@ -156,12 +162,14 @@ def test_cli_registration_preset_auto_hard_trajectory(in_tmp, capsys):
 
 
 def test_cli_registration_preset_robust(in_tmp):
-    seq = SyntheticSequence(n_frames=2, yaw_step=-0.1,
+    # 3 frames at 80x60: shares the robust_map fused-chain program with
+    # the auto test above / test_auto's end-to-end within one process
+    seq = SyntheticSequence(n_frames=3, yaw_step=-0.1,
                             intr=Intrinsics.simple(80, 60))
     os.makedirs("dataset", exist_ok=True)
     save_dataset_clouds("rb", seq.clouds(), "dataset")
     deg = int(round(np.degrees(-0.1)))
-    assert cli.main(["rspc", "--registration", "rb", str(deg), "2",
+    assert cli.main(["rspc", "--registration", "rb", str(deg), "3",
                      "--preset=robust"]) == 0
     assert os.path.exists("dataset/rb-registration")
 
