@@ -135,3 +135,70 @@ def test_get_clouds_new_odometry():
     )[:3, :3]
     np.testing.assert_allclose(t1[:3, :3], want_r, atol=5e-3)
     assert np.isfinite(t1).all()
+
+
+def _unit(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v)
+
+
+def test_match_mutual_cross_check():
+    """mutual_group: an A row whose chosen B row round-trips to a
+    DIFFERENT A keypoint is rejected; round-trips to any orientation row
+    of the SAME keypoint pass (r5, ops/keypoints.py)."""
+    rng = np.random.default_rng(0)
+    # 2 keypoints x group 2 = 4 A rows; B has 2 rows
+    b0 = _unit(rng.normal(size=128))
+    b1 = _unit(rng.normal(size=128))
+    # A kp0 row0 ~ b0 (good, round-trips); A kp1 row0 ~ b1 but b1's
+    # nearest A row is kp0's row1 (planted closer) -> mutual kills it
+    a = np.stack([
+        _unit(b0 + 0.01 * rng.normal(size=128)),       # kp0 row0
+        _unit(b1 + 0.005 * rng.normal(size=128)),      # kp0 row1 (b1's best)
+        _unit(b1 + 0.02 * rng.normal(size=128)),       # kp1 row0
+        _unit(rng.normal(size=128)),                   # kp1 row1 (noise)
+    ])
+    b = np.stack([b0, b1])
+    va = jnp.ones(4, bool)
+    vb = jnp.ones(2, bool)
+    idx, good = match_descriptors(
+        jnp.asarray(a), va, jnp.asarray(b), vb, ratio=0.8, mutual_group=2
+    )
+    idx, good = np.asarray(idx), np.asarray(good)
+    assert good[0] and idx[0] == 0          # kp0 row0 <-> b0 round-trips
+    assert good[1] and idx[1] == 1          # kp0 row1 <-> b1 (same kp0)
+    assert not good[2]                      # kp1 -> b1 -> kp0: rejected
+    # without the cross-check the kp1->b1 match survives the ratio test
+    _, good_raw = match_descriptors(
+        jnp.asarray(a), va, jnp.asarray(b), vb, ratio=0.8
+    )
+    assert np.asarray(good_raw)[2]
+
+
+def test_match_scale_gate():
+    """scale_gate: matches whose sigma ratio contradicts the global
+    (median) hypothesis are rejected; with no sigmas or gate off the
+    match set is unchanged (r5, ops/keypoints.py)."""
+    rng = np.random.default_rng(1)
+    k = 9
+    b = np.stack([_unit(rng.normal(size=128)) for _ in range(k)])
+    a = np.stack([_unit(b[i] + 0.01 * rng.normal(size=128)) for i in range(k)])
+    va = jnp.ones(k, bool)
+    vb = jnp.ones(k, bool)
+    # global scale ~2x; one keypoint's sigma contradicts it by 4x
+    sa = jnp.asarray(np.full(k, 1.6, np.float32))
+    sb_np = np.full(k, 3.2, np.float32)
+    sb_np[4] = 12.8
+    sb = jnp.asarray(sb_np)
+    idx, good = match_descriptors(
+        jnp.asarray(a), va, jnp.asarray(b), vb, ratio=0.8,
+        sigma_a=sa, sigma_b=sb, scale_gate=1.5,
+    )
+    idx, good = np.asarray(idx), np.asarray(good)
+    assert (idx[good] == np.where(good)[0]).all()
+    assert not good[4] and good.sum() == k - 1
+    # gate off: all k survive
+    _, good_off = match_descriptors(
+        jnp.asarray(a), va, jnp.asarray(b), vb, ratio=0.8
+    )
+    assert np.asarray(good_off).sum() == k
