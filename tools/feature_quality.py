@@ -16,7 +16,11 @@ OpenCV's real SIFT (cv2.SIFT_create, third-party) runs on the same pairs
 as the yardstick. tests/test_feature_quality.py pins minimum thresholds;
 RESULTS.md records the table.
 
-Usage: python tools/feature_quality.py  (CPU-friendly)
+Usage: python tools/feature_quality.py
+(Note: under this image's axon sitecustomize the run executes on the
+TPU chip — JAX_PLATFORMS=cpu in the env does not stick; see
+tests/conftest.py. Defaults r5: 3 octaves, 3 orientations, mutual
+cross-check, scale gate off.)
 """
 
 from __future__ import annotations
