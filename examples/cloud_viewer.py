@@ -25,10 +25,24 @@ def main() -> int:
 
     from rspc_tpu.io.pcd import load_pcd
     from rspc_tpu.viz.render import ViewState, render_to_png
+    from rspc_tpu.cloud import Cloud, OrganizedCloud
+
+    from _viewer_common import fit_to_view, revalidate_finite
 
     cloud = load_pcd(path)
+    if isinstance(cloud, OrganizedCloud):
+        cloud = Cloud(
+            cloud.xyz.reshape(-1, 3),
+            cloud.rgb.reshape(-1, 3),
+            cloud.valid.reshape(-1),
+        )
+    # PCL CloudViewer semantics: all finite points, auto-fitted camera
+    # (the library load path's z==0-invalid rule is the APP viewer's
+    # convention — see _viewer_common)
+    cloud = fit_to_view(revalidate_finite(cloud))
     st = ViewState(yaw=yaw, pitch=pitch)
-    out = path + ".view.png"
+    # write next to the CWD, never beside a (possibly read-only) input
+    out = os.path.basename(path) + ".view.png"
     render_to_png(out, cloud, state=st)
     print(f"rendered {out}")
     return 0

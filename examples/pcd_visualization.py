@@ -26,6 +26,8 @@ def main() -> int:
     from rspc_tpu.viz.render import render_to_png
     from rspc_tpu.cloud import Cloud, OrganizedCloud
 
+    from _viewer_common import fit_to_view, revalidate_finite
+
     cloud = load_pcd(path)
     if isinstance(cloud, OrganizedCloud):
         cloud = Cloud(
@@ -33,6 +35,9 @@ def main() -> int:
             cloud.rgb.reshape(-1, 3),
             cloud.valid.reshape(-1),
         )
+    # PCLVisualizer semantics: all finite points count (the z==0-invalid
+    # rule is the APP viewer's convention — see _viewer_common)
+    cloud = revalidate_finite(cloud)
 
     # reference parity: two NormalEstimation passes, radii 0.05 / 0.1,
     # results unused (pcdVisualization.cpp:51-60)
@@ -43,8 +48,9 @@ def main() -> int:
         f"{int(ok2.sum())} valid @ r=0.1 (of {int(cloud.count())} points)"
     )
 
-    out = path + ".view.png"
-    render_to_png(out, cloud)
+    # write next to the CWD, never beside a (possibly read-only) input
+    out = os.path.basename(path) + ".view.png"
+    render_to_png(out, fit_to_view(cloud))
     print(f"rendered {out}")
     return 0
 
