@@ -63,6 +63,18 @@ class _CompileLog(logging.Handler):
         import jax
 
         jax.config.update("jax_log_compiles", True)
+        # Misses only log at WARNING when this is on (jax._src.compiler.
+        # log_persistent_cache_miss) — without it every bench record
+        # reads "0 misses" even in a fully cold session (r5 session-2
+        # finding: a cold run compiled 89 s, wrote fresh cache entries,
+        # and still recorded 0 hits / 0 misses). Expected warm-session
+        # shape: the expensive programs (_registration_fused,
+        # render_frame, rgbd_to_organized_cloud) HIT; ~15 trivial
+        # sub-second dispatches (jit_sin, jit_concatenate, ...) miss in
+        # EVERY process because persistent_cache_min_compile_time_secs
+        # = 1.0 never stores them — a standing miss count there is
+        # policy, not a cache failure.
+        jax.config.update("jax_explain_cache_misses", True)
         # NOTE: the 'Finished XLA compilation' line is emitted by
         # jax._src.dispatch in this jax version (verified against the
         # live log); pxla/compiler kept for version drift.
@@ -235,6 +247,7 @@ def main():
     # child's stderr tail so a hang is attributable to a stage) instead
     # of null.
     warm_warmup_s = None
+    warm_probe_cache = None
     if jax.default_backend() == "tpu":
         import subprocess
 
@@ -247,7 +260,16 @@ def main():
             )
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
-                    warm_warmup_s = json.loads(line)["warm_warmup_s"]
+                    rec = json.loads(line)
+                    warm_warmup_s = rec["warm_warmup_s"]
+                    # whether the fresh process was actually served from
+                    # the persistent cache — THE number that separates
+                    # "cache works" from "probe silently recompiled"
+                    # when warm_warmup_s drifts between sessions
+                    warm_probe_cache = (
+                        f"hits={rec.get('cache_hits')} "
+                        f"misses={rec.get('cache_misses')}"
+                    )
             if warm_warmup_s is None:
                 tail = (out.stderr or "").strip().splitlines()[-3:]
                 warm_warmup_s = (
@@ -351,6 +373,7 @@ def main():
                 # if the bounded fresh-process probe failed (never null
                 # on a tpu backend — VERDICT r4 #1)
                 "warm_warmup_s": warm_warmup_s,
+                "warm_probe_cache": warm_probe_cache,
                 "tpu_pytest_lane": tpu_lane,
                 "bench_total_s": round(time.time() - t_start, 1),
             }
