@@ -98,6 +98,16 @@ class _CompileLog(logging.Handler):
         )
 
 
+def _probe_tail(stderr: str | None) -> str:
+    """Last few diagnostic lines of the warm probe's stderr. The probe
+    stamps its stages with a '[warm-probe +Ns]' prefix; prefer those
+    (they attribute a hang to a stage) — with jax_explain_cache_misses
+    on, the raw tail is usually tracing-cache WARNING spam instead."""
+    lines = (stderr or "").strip().splitlines()
+    stamped = [ln for ln in lines if "[warm-probe" in ln]
+    return " | ".join((stamped or lines)[-3:])[-300:]
+
+
 def main():
     t_start = time.time()
     import jax
@@ -271,19 +281,17 @@ def main():
                         f"misses={rec.get('cache_misses')}"
                     )
             if warm_warmup_s is None:
-                tail = (out.stderr or "").strip().splitlines()[-3:]
                 warm_warmup_s = (
                     f"probe exited rc={out.returncode} without a result; "
-                    f"stderr tail: {' | '.join(tail)[-300:]}"
+                    f"stderr tail: {_probe_tail(out.stderr)}"
                 )
         except subprocess.TimeoutExpired as e:
             tail = e.stderr or b""
             if isinstance(tail, bytes):
                 tail = tail.decode(errors="replace")
-            tail = " | ".join(tail.strip().splitlines()[-3:])[-300:]
             warm_warmup_s = (
                 f"timeout after {probe_budget_s}s (degraded tunnel?); "
-                f"child stderr tail: {tail or '<none captured>'}"
+                f"child stderr tail: {_probe_tail(tail) or '<none captured>'}"
             )
         except Exception as e:
             warm_warmup_s = f"probe error: {e!r:.300}"
